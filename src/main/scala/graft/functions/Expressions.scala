@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftGlue
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the fingerprint cascade. Each one
+  * generates a single static-kernel call inside whole-stage codegen
+  * (see [[Kernels]]) — SURVEY.md §2.10 E2/E3/U1: the reference's numpy
+  * kernels re-expressed as native expressions rather than UDFs, so the
+  * signature stage stays one codegen'd map over the scan with zero
+  * serialization tax.
+  */
+object Expressions {
+
+  /** text -> distinct word-k-gram shingle hashes (array<long>).
+    * Bit-identical to the builtin formulation
+    * array_distinct(transform(shingles, xxhash64)) — asserted in
+    * TextFunctionsSpec — at ~one kernel call per row.
+    */
+  case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.shingleHashSet(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingleHashSet($c, $k)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** shingle-hash array -> MinHash signature (array<long>, length numHashes). */
+  case class MinHashSig(child: Expression, numHashes: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.minhashSig(input.asInstanceOf[ArrayData], numHashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.minhashSig($c, $numHashes)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** shingle-hash array -> 64-bit SimHash fingerprint. */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      Kernels.simhash64(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhash64($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** MinHash signature -> LSH band keys (array<long>, length bands). */
+  case class BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.bandKeys(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.Kernels.bandKeys($c, $bands, $rowsPerBand)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Exact Jaccard between two distinct-element long arrays. */
+  case class JaccardLongSets(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.jaccardLongSets(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.Kernels.jaccardLongSets($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  // Column-level API
+  def shingleHashes(text: Column, k: Int): Column =
+    GraftGlue.column(ShingleHashes(GraftGlue.expression(text), k))
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    GraftGlue.column(MinHashSig(GraftGlue.expression(shingles), numHashes))
+  def simhash64(shingles: Column): Column =
+    GraftGlue.column(SimHash64(GraftGlue.expression(shingles)))
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    GraftGlue.column(BandKeys(GraftGlue.expression(sig), bands, rowsPerBand))
+  def jaccardSets(a: Column, b: Column): Column =
+    GraftGlue.column(
+      JaccardLongSets(GraftGlue.expression(a), GraftGlue.expression(b)))
+}

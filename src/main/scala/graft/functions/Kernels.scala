@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/** Tight primitive kernels shared by the interpreted `eval` and the
+  * generated code of the custom expressions in [[Expressions]]. Static
+  * (object) methods so whole-stage codegen can call them directly —
+  * the per-row cost is one JVM call + a primitive loop, versus an
+  * interpreted expression tree per array element for the equivalent
+  * higher-order-function formulation.
+  */
+object Kernels {
+
+  /** Seeds identical to SQL `xxhash64(cast(i as bigint), h)`:
+    * seed_i = hashLong(i, 42), perm_i(h) = hashLong(h, seed_i).
+    */
+  def seeds(numHashes: Int): Array[Long] =
+    Array.tabulate(numHashes)(i => XXH64.hashLong(i.toLong, 42L))
+
+  private val seedCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  def cachedSeeds(numHashes: Int): Array[Long] =
+    seedCache.computeIfAbsent(numHashes, n => seeds(n))
+
+  /** MinHash signature: per permutation the unsigned-min of perm_i(h). */
+  def minhashSig(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val s = cachedSeeds(numHashes)
+    val out = Array.fill[Long](numHashes)(-1L) // unsigned max
+    val n = shingles.numElements()
+    var j = 0
+    while (j < n) {
+      val h = shingles.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        val v = XXH64.hashLong(h, s(i))
+        if (java.lang.Long.compareUnsigned(v, out(i)) < 0) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash: sign-of-sum over the bits of each shingle hash. */
+  def simhash64(shingles: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = shingles.numElements()
+    var j = 0
+    while (j < n) {
+      val h = shingles.getLong(j)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  /** LSH band keys: key_i = xxhash64 over (i, sig[i*r .. i*r+r-1]),
+    * chained exactly like the SQL multi-arg xxhash64 (seed 42).
+    */
+  def bandKeys(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var i = 0
+    while (i < bands) {
+      var acc = XXH64.hashLong(i.toLong, 42L)
+      var j = 0
+      while (j < rowsPerBand) {
+        acc = XXH64.hashLong(sig.getLong(i * rowsPerBand + j), acc)
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct word-k-gram shingle hashes straight from the text bytes.
+    * Semantics identical to
+    * `array_distinct(transform(wordShingles(text,k), s => xxhash64(s)))`
+    * (TextFunctions.shingleHashes): words are single-space splits; a
+    * k-gram's hash is xxhash64 (seed 42) of the exact byte span covering
+    * k adjacent words (equal to the ' '-joined string, since the span
+    * includes the separating spaces). One pass, no string allocation.
+    */
+  def shingleHashSet(text: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
+    val bytes = text.getBytes // may copy; single allocation per row
+    val n = bytes.length
+    // word start offsets (split(" ") semantics: empty tokens between
+    // consecutive spaces count as words, matching Spark's split)
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+    starts += 0
+    var i = 0
+    while (i < n) {
+      if (bytes(i) == ' '.toByte) starts += (i + 1)
+      i += 1
+    }
+    val nWords = starts.length
+    if (nWords < k) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var w = 0
+    while (w + k <= nWords) {
+      val from = starts(w)
+      val to = if (w + k < nWords) starts(w + k) - 1 else n // exclude trailing space
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from, to - from, 42L)
+      seen.add(h)
+      w += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Exact Jaccard of two long-array SETS (inputs must be distinct;
+    * order free). Hash-probe on the smaller side.
+    */
+  def jaccardLongSets(a: ArrayData, b: ArrayData): Double = {
+    val (small, big) =
+      if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val ns = small.numElements()
+    val nb = big.numElements()
+    if (ns == 0) return if (nb == 0) 1.0 else 0.0
+    val set = new java.util.HashSet[Long](ns * 2)
+    var i = 0
+    while (i < ns) { set.add(small.getLong(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nb) { if (set.contains(big.getLong(i))) inter += 1; i += 1 }
+    inter.toDouble / (ns + nb - inter)
+  }
+}

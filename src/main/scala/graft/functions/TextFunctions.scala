@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic text operators over web-page rows.
+  *
+  * The extraction contract mirrors the reference's per-item content
+  * identity: the reference hashes raw file bytes (`winnow/utils/utils.py:
+  * 163-173`) and samples fixed-rate units (`winnow/feature_extraction/
+  * utils.py:52-58`); our analog extracts text from HTML byte-identically
+  * per url (BASELINE.json input_hint) and decomposes it into k-gram
+  * shingles. Everything here is built from codegen'd
+  * `org.apache.spark.sql.functions` — no UDFs in the hot path.
+  */
+object TextFunctions {
+
+  // ---------------------------------------------------------------------
+  // E1: deterministic HTML -> text extraction (byte-identical contract).
+  // Pure column expressions: strip <script>/<style> blocks, strip tags,
+  // decode the common entities, collapse whitespace, trim. Frozen — any
+  // change must change the config tag (reference `utils.py:186-200`).
+  // ---------------------------------------------------------------------
+  def extractText(html: Column): Column = {
+    val s0 = decode(html, "UTF-8")
+    val noScript = regexp_replace(s0, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle  = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noTags   = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    val ent = Seq(
+      "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
+      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'"
+    ).foldLeft(noTags) { case (c, (from, to)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(from), to)
+    }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
+  /** Normalization used for fingerprints/exact dedup: lowercase +
+    * whitespace collapse (the text analog of the reference's frame
+    * pad+resize unit normalization, `feature_extraction/utils.py:100-133`).
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  // ---------------------------------------------------------------------
+  // G1: k-gram shingling — the unit decomposition (reference frame
+  // sampler `feature_extraction/utils.py:25-73`). One array element per
+  // word k-gram; shingleHashes additionally xxhash64's each k-gram.
+  // ---------------------------------------------------------------------
+  def wordShingles(text: Column, k: Int): Column = {
+    val w = tokens(text)
+    when(size(w) < k, array()).otherwise(
+      transform(
+        sequence(lit(0), size(w) - k),
+        i => array_join(slice(w, i + 1, lit(k)), " ")
+      )
+    )
+  }
+
+  /** Distinct 64-bit hashes of the k-gram shingle set. */
+  def shingleHashes(text: Column, k: Int): Column =
+    array_distinct(transform(wordShingles(text, k), s => xxhash64(s)))
+
+  // ---------------------------------------------------------------------
+  // Text analysis for training-data pipelines.
+  // ---------------------------------------------------------------------
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: alphanumeric runs + individual punctuation. */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
+      t => length(t) > 0 && t =!= " "))
+
+  private val stopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Heuristic quality score in [0,1]: length, alpha ratio, stopword hit,
+    * mean word length sanity. Plays the reference's gray-max quality
+    * regressor (`winnow/utils/utils.py:91-111`) — a scalar per-item
+    * quality used to flag rows before pair filtering.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val nTok = tokenCount(text).cast("double")
+    val alphaRatio = when(len === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^\\p{L}]", "")).cast("double") / len)
+    val meanWordLen = when(nTok === 0, 0.0).otherwise(len / nTok)
+    val hasStop = when(
+      arrays_overlap(split(lower(text), "\\s+"),
+        array(stopwords.map(lit): _*)), 1.0).otherwise(0.0)
+    val lenScore = least(len / 200.0, lit(1.0))
+    val wordLenScore =
+      when(meanWordLen >= 3.0 && meanWordLen <= 12.0, 1.0).otherwise(0.5)
+    round((lenScore + alphaRatio + hasStop + wordLenScore) / 4.0, 6)
+  }
+
+  /** n-gram-heuristic language ID over a tiny built-in profile: counts
+    * hits of high-frequency function words per language, returns the
+    * argmax (ties broken by language code order), 'und' when nothing hits.
+    */
+  def langId(text: Column): Column = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein"),
+      "en" -> Seq("the", "and", "of", "to", "is", "that", "it"),
+      "es" -> Seq("el", "la", "los", "que", "de", "y", "es"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "que", "une"),
+      "zh" -> Seq("的", "是", "了", "在", "和", "有", "我")
+    )
+    val toks = split(lower(text), "\\s+")
+    // array_max over (hits, lang) structs: argmax by hit count,
+    // deterministic tie-break by language code (lexicographically last).
+    val scored = profiles.map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => t.isin(words.map(lit): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** 64-bit document fingerprint: xxhash64 of the normalized text —
+    * the content-identity hash (reference sha256-of-bytes,
+    * `winnow/utils/utils.py:163-173`, at 64-bit width for joins).
+    */
+  def fingerprint64(text: Column): Column = xxhash64(normalizeText(text))
+
+  /** Rolling-hash winnowing fingerprints: hashes of char w-grams sampled
+    * where hash % p == 0 (content-defined sampling — robust to shifts).
+    */
+  def winnowFingerprints(text: Column, w: Int, p: Int): Column = {
+    val n = normalizeText(text)
+    val grams = when(length(n) < w, array()).otherwise(
+      transform(sequence(lit(1), length(n) - w + 1),
+        i => xxhash64(n.substr(i, lit(w)))))
+    array_distinct(filter(grams, h => pmod(h, lit(p)) === 0))
+  }
+}

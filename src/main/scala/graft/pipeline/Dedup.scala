@@ -1,0 +1,218 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{Expressions, SimHash, TextFunctions}
+
+/** Configuration of the fingerprint cascade. Mirrors the reference's
+  * representation-affecting config subset (`winnow/config/config.py:31,37`;
+  * tag derivation `winnow/utils/utils.py:186-200`): changing any field
+  * changes `configTag` and therefore invalidates cached stages.
+  *
+  * @param shingleK   word k-gram size (analog of frame_sampling)
+  * @param numHashes  MinHash signature width (analog of signature dim 500)
+  * @param bands      LSH band count; rows per band = numHashes / bands
+  * @param threshold  exact-Jaccard match threshold (analog of
+  *                   match_distance = 0.75, strict-< preserved as >=
+  *                   on similarity — see Dedup.verifiedPairs)
+  */
+final case class DedupConfig(
+    shingleK: Int = 3,
+    numHashes: Int = 128,
+    bands: Int = 64,
+    threshold: Double = 0.5,
+    minTokens: Int = 3) {
+  require(numHashes % bands == 0, "bands must divide numHashes")
+  val rowsPerBand: Int = numHashes / bands
+
+  /** 40-hex config tag (reference `utils.py:186-200`). */
+  lazy val configTag: String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val json =
+      s"""{"shingleK":$shingleK,"numHashes":$numHashes,"bands":$bands,""" +
+        s""""threshold":$threshold,"minTokens":$minTokens}"""
+    md.digest(json.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(40)
+  }
+}
+
+/** The near-duplicate detection pipeline, stage by stage. Every stage is a
+  * pure DataFrame -> DataFrame function so Catalyst sees one declarative
+  * plan end-to-end (scan -> pruning/pushdown -> shuffle on doc key ->
+  * shuffle on band key -> shuffle on pair key), mirroring the reference
+  * lifecycle extract_features -> generate_matches (SURVEY.md §3.1-3.2).
+  *
+  * Input contract: a docs DataFrame with columns (id: any orderable type,
+  * text: string). Use `fromPages` / `fromDocuments` adapters.
+  */
+object Dedup {
+
+  /** Stage 1 — per-doc distinct shingle-hash sets. One narrow projection;
+    * no shuffle. Rows shorter than k shingle to an empty set and are
+    * dropped (reference min-duration filter analog,
+    * `scene_detection.py:132-134`).
+    */
+  def shingleSets(docs: DataFrame, cfg: DedupConfig): DataFrame =
+    docs
+      .select(col("id"), Expressions.shingleHashes(col("text"), cfg.shingleK).as("shingles"))
+      .where(size(col("shingles")) > 0)
+
+  /** Stage 2 — MinHash signatures + SimHash fingerprint per doc.
+    * Computed directly from the shingle array by the custom codegen'd
+    * expressions in graft.functions.Expressions (no explode, no shuffle,
+    * no interpreted HOF tree): the signature stage is a single narrow
+    * whole-stage-codegen map over the scan.
+    */
+  def signatures(shingled: DataFrame, cfg: DedupConfig): DataFrame =
+    shingled.select(col("id"), col("shingles"),
+      Expressions.minhashSig(col("shingles"), cfg.numHashes).as("sig"),
+      Expressions.simhash64(col("shingles")).as("simhash"),
+      size(col("shingles")).as("n_shingles"))
+
+  /** Stage 3 — LSH band keys: one row per (doc, band), key = xxhash64 of
+    * (band index, the band's signature slice). Reference analog: the
+    * kd-tree candidate search (`generate_matches.py:57-62`) re-expressed
+    * as a group-by-able key (SURVEY.md J1).
+    */
+  def bandTable(sigs: DataFrame, cfg: DedupConfig): DataFrame =
+    sigs.select(col("id"),
+      explode(Expressions.bandKeys(col("sig"), cfg.bands, cfg.rowsPerBand))
+        .as("band_key"))
+
+  /** Stage 4 — candidate pairs: within-band self-join, canonicalized
+    * (id_a < id_b — reference self-match drop + sorted-pair dedup,
+    * `generate_matches.py:88-94`), distinct across bands.
+    *
+    * Hot-band skew (north rule): bands shared by f docs produce f^2/2
+    * pairs in one task. `maxBandSize` drops pathological bands ONLY when
+    * explicitly configured (default keeps all); `saltBuckets > 1`
+    * activates salted replication so each join task sees at most
+    * ~bandSize/salt rows on the left while preserving the exact pair set.
+    */
+  def candidatePairs(
+      bands: DataFrame,
+      saltBuckets: Int = 1): DataFrame = {
+    val pairs =
+      if (saltBuckets <= 1) {
+        val l = bands.select(col("band_key"), col("id").as("id_a"))
+        val r = bands.select(col("band_key"), col("id").as("id_b"))
+        l.join(r, "band_key").where(col("id_a") < col("id_b"))
+      } else {
+        // Salted self-join: left side gets a deterministic salt in
+        // [0, s); right side is replicated to every salt. Each unordered
+        // pair (x,y) with x<y appears for salt = salt(x) exactly once
+        // per shared band; the final distinct dedups across bands.
+        val s = saltBuckets
+        val l = bands.select(col("band_key"),
+          pmod(xxhash64(col("id")), lit(s)).as("salt"), col("id").as("id_a"))
+        val r = bands
+          .select(col("band_key"), col("id").as("id_b"),
+            explode(sequence(lit(0), lit(s - 1))).as("salt"))
+        l.join(r, Seq("band_key", "salt")).where(col("id_a") < col("id_b"))
+      }
+    pairs.select("id_a", "id_b").distinct()
+  }
+
+  /** Stage 5 — exact verification: join candidate pairs back to the
+    * shingle sets and compute exact Jaccard; keep pairs with
+    * jaccard >= threshold. The reference thresholds estimated distance
+    * only (`utils.py:76-83`); we verify exactly so banding parameters
+    * control recall, never precision.
+    */
+  def verifiedPairs(
+      candidates: DataFrame,
+      shingled: DataFrame,
+      cfg: DedupConfig): DataFrame = {
+    val a = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    candidates
+      .join(a, "id_a")
+      .join(b, "id_b")
+      .withColumn("jaccard", Expressions.jaccardSets(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= cfg.threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Full pipeline: docs(id, text) -> verified canonical pairs
+    * (id_a < id_b, jaccard >= threshold).
+    */
+  def pairs(docs: DataFrame, cfg: DedupConfig = DedupConfig(),
+            saltBuckets: Int = 1): DataFrame = {
+    // The shingle table fans into both the signature path and the verify
+    // joins — persist it once rather than recomputing the scan+shingling
+    // three times (at cluster scale this is the materialized
+    // intermediate table, reference repr-store semantics SURVEY.md S5).
+    val shingled = shingleSets(docs, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = signatures(shingled, cfg)
+    val cands = candidatePairs(bandTable(sigs, cfg), saltBuckets)
+    verifiedPairs(cands, shingled, cfg)
+  }
+
+  /** Exact n-gram Jaccard pairs via inverted-index self-join: any pair
+    * with jaccard > 0 shares a shingle, so joining the exploded shingle
+    * table with itself and counting shared shingles per pair is COMPLETE
+    * — the correctness anchor for the LSH path (which must reproduce it
+    * above threshold). At web scale the LSH path is the production one;
+    * this operator's shingle join degenerates on hot shingles.
+    */
+  def exactJaccardPairs(docs: DataFrame, cfg: DedupConfig): DataFrame = {
+    val shingled = shingleSets(docs, cfg)
+    val sh = shingled.select(col("id"), explode(col("shingles")).as("h"))
+    val card = shingled.select(col("id"), size(col("shingles")).as("c"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(card.select(col("id").as("id_a"), col("c").as("ca")), "id_a")
+      .join(card.select(col("id").as("id_b"), col("c").as("cb")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("ca") + col("cb") - col("inter")))
+      .where(col("jaccard") >= cfg.threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Pairs -> cluster assignments via distributed connected components
+    * (the reference's DBSCAN(min_samples=1) semantics,
+    * `winnow/duplicate_detection/duplicate_detector.py:22-26`);
+    * cluster id = min member id.
+    */
+  def clusters(pairs: DataFrame): DataFrame =
+    ConnectedComponents.run(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id"), col("component").as("cluster_id"))
+
+  /** Exact duplicate detection: group by fingerprint of normalized text
+    * (hash-groupBy exact dedup; reference sha256 identity
+    * `winnow/utils/utils.py:163-173`).
+    */
+  def exactDuplicates(docs: DataFrame): DataFrame =
+    docs
+      .select(col("id"), md5(TextFunctions.normalizeText(col("text"))).as("text_hash"))
+      .groupBy(col("text_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keeper_id"))
+
+  /** SimHash near-dup pairs: pigeonhole block join + hamming verify.
+    * Guaranteed complete for hammingMax <= blocks-1.
+    */
+  def simhashPairs(sigs: DataFrame, hammingMax: Int, blocks: Int = 4): DataFrame = {
+    val keyed = sigs.select(col("id"), col("simhash"),
+      explode(SimHash.blockKeys(col("simhash"), blocks)).as("bk"))
+    val l = keyed.select(col("bk"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val r = keyed.select(col("bk"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    l.join(r, "bk")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        SimHash.hamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= hammingMax)
+  }
+
+  /** Adapter: pages(url, warc_ts, html, text, lang) -> docs(id, text). */
+  def fromPages(pages: DataFrame): DataFrame =
+    pages.select(col("url").as("id"), col("text"))
+
+  /** Adapter: testdata documents(doc_id, text, ...) -> docs(id, text). */
+  def fromDocuments(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id").as("id"), col("text"))
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's serving/query layer re-expressed as pure
+  * DataFrame -> DataFrame functions (SURVEY.md §3.3): FilesDAO /
+  * MatchesDAO filter + sort + count + paginate + n-hop graph expansion
+  * semantics (`/root/reference/db/access/files.py`,
+  * `db/access/matches.py`), over a docs table (any id type) and an
+  * undirected canonical edge table edges(id_a, id_b, similarity).
+  */
+object Serving {
+
+  /** Undirected edge table -> both-direction view (the reference always
+    * queries both directions, `db/access/files.py:121-126`).
+    */
+  def bothDirections(edges: DataFrame): DataFrame =
+    edges.select(col("id_a").as("src"), col("id_b").as("dst"), col("similarity"))
+      .union(edges.select(col("id_b"), col("id_a"), col("similarity")))
+
+  /** A4 counts pass (`db/access/files.py:100-110`, thresholds 48-49):
+    * total / related (sim >= relatedMin) / duplicates (sim >= dupMin) /
+    * unique, in one aggregation pass over a semi-join flag.
+    */
+  def counts(docs: DataFrame, edges: DataFrame,
+             relatedMin: Double = 0.5, dupMin: Double = 0.8): DataFrame = {
+    val perDoc = bothDirections(edges)
+      .groupBy(col("src").as("doc_id"))
+      .agg(max(col("similarity")).as("max_sim"))
+    docs.select(col("id").as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(col("max_sim") >= relatedMin, 1).otherwise(0)).as("related"),
+        sum(when(col("max_sim") >= dupMin, 1).otherwise(0)).as("duplicates"),
+        sum(when(col("max_sim").isNull || col("max_sim") < relatedMin, 1)
+          .otherwise(0)).as("unique_docs"))
+  }
+
+  /** O2/J6 list-files sort by match count (outer join + group,
+    * `db/access/files.py:129-153`): every doc with its hit count,
+    * ordered by hit_count desc then doc_id asc, offset/limit pagination
+    * (`files.py:91-92` — determinism via the full sort key).
+    */
+  def listByMatchCount(docs: DataFrame, edges: DataFrame,
+                       limit: Int = 20, offset: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = bothDirections(edges).groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("hit_count"))
+    val joined = docs.select(col("id").as("doc_id"))
+      .join(cnt, Seq("doc_id"), "left_outer")
+      .withColumn("hit_count", coalesce(col("hit_count"), lit(0L)))
+    val w = Window.orderBy(col("hit_count").desc, col("doc_id").asc)
+    joined.withColumn("rn", row_number().over(w))
+      .where(col("rn") > offset && col("rn") <= offset + limit)
+      .drop("rn")
+  }
+
+  /** J8 semi/anti-join membership: docs having (or not having) any match
+    * with similarity >= thr (`db/access/files.py:113-118,170-190`).
+    */
+  def withMatches(docs: DataFrame, edges: DataFrame, thr: Double,
+                  has: Boolean = true): DataFrame = {
+    val matched = bothDirections(edges).where(col("similarity") >= thr)
+      .select(col("src").as("id")).distinct()
+    docs.join(matched, Seq("id"), if (has) "left_semi" else "left_anti")
+  }
+
+  /** J9 n-hop BFS cluster expansion (`db/access/matches.py:44-126`):
+    * frontier loop with seen-set dedup and hop tracking; returns
+    * (doc_id, hop = min hops from source). Edges optionally restricted
+    * to a similarity band [minSim, maxSim] (`matches.py:118-124`).
+    */
+  def nHopCluster(edges: DataFrame, sourceId: Any, hops: Int,
+                  minSim: Double = 0.0, maxSim: Double = 1.0): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = bothDirections(edges)
+      .where(col("similarity") >= minSim && col("similarity") <= maxSim)
+      .select(col("src"), col("dst"))
+      .localCheckpoint(true)
+    var seen = edges.sparkSession.createDataFrame(
+      Seq(Tuple1(sourceId.toString))).toDF("doc_id")
+      .select(col("doc_id").cast(e.schema("src").dataType),
+        lit(0).as("hop"))
+    var frontier = seen
+    var h = 0
+    while (h < hops && frontier.limit(1).count() > 0) {
+      h += 1
+      val next = frontier.select(col("doc_id").as("src"))
+        .join(e, "src").select(col("dst").as("doc_id"))
+        .distinct()
+        .join(seen.select("doc_id"), Seq("doc_id"), "left_anti")
+        .withColumn("hop", lit(h))
+        .localCheckpoint(true)
+      seen = seen.union(next).localCheckpoint(true)
+      frontier = next
+    }
+    seen
+  }
+
+  /** Edges within a seen set (`db/access/matches.py:97-109`): all edges
+    * whose both endpoints belong to `members(doc_id)`.
+    */
+  def edgesWithin(edges: DataFrame, members: DataFrame): DataFrame =
+    edges
+      .join(members.select(col("doc_id").as("id_a")), "id_a", "left_semi")
+      .join(members.select(col("doc_id").as("id_b")), "id_b", "left_semi")
+      .select(col("id_a"), col("id_b"), col("similarity"))
+
+  /** ilike path search (`db/access/files.py:156-160`) + extension filter
+    * (`files.py:162-168`) + date-range filter (`files.py:192-203`) over a
+    * pages-like table, composed from a filter spec.
+    */
+  def listFiles(pages: DataFrame,
+                pathContains: Option[String] = None,
+                langIn: Seq[String] = Nil,
+                minTextLen: Option[Int] = None,
+                tsFrom: Option[java.sql.Timestamp] = None,
+                tsTo: Option[java.sql.Timestamp] = None): DataFrame = {
+    var df = pages
+    pathContains.foreach(q => df = df.where(lower(col("url")).contains(q.toLowerCase)))
+    if (langIn.nonEmpty) df = df.where(col("lang").isin(langIn: _*))
+    minTextLen.foreach(n => df = df.where(length(col("text")) >= n))
+    tsFrom.foreach(t => df = df.where(col("warc_ts") >= lit(t)))
+    tsTo.foreach(t => df = df.where(col("warc_ts") < lit(t)))
+    df
+  }
+}
