@@ -2,26 +2,37 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, DedupConfig}
+import graft.functions.Embeddings
+import graft.pipeline.{Dedup, DedupConfig, ExactSubstring}
+import graft.queries.Serving
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every entry in `queries` is a pure (SparkSession, sfDir) => DataFrame
   * over the driver's parquet tables; `oracleSql` carries the equivalent
   * DuckDB SQL over the same tables (column names aligned — the driver
-  * sorts columns by name before hashing).
+  * sorts columns by name before hashing). Ordering inside a query is
+  * irrelevant to the compare but every ranked/limited query uses a total
+  * deterministic sort key.
   */
 object SparkEntry {
   val cfg: DedupConfig = DedupConfig() // shingleK=3, 128 hashes, 64 bands, tau=0.5
 
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
-
   private def docs(s: SparkSession, dir: String): DataFrame =
     Dedup.fromDocuments(documents(s, dir))
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
 
   private def pairsOut(df: DataFrame): DataFrame =
     df.select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"), col("jaccard"))
+
+  /** pairs as a similarity edge table for the serving queries. */
+  private def edges(s: SparkSession, dir: String): DataFrame =
+    Dedup.pairs(docs(s, dir), cfg).withColumnRenamed("jaccard", "similarity")
 
   /** Flagship query on /root/testdata/sf0.001: full dedup pipeline ->
     * cluster assignments. Driver smoke-checks rows>0.
@@ -34,19 +45,20 @@ object SparkEntry {
   // Dedup's word-3-gram exact-Jaccard semantics; both LSH and exact
   // operators must reproduce it above threshold.
   // ---------------------------------------------------------------------
-  private val pairsCte: String =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s
-      |       FROM toks, LATERAL unnest(range(1, len(w)-1)) AS g(i)),
-      |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
-      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-      |          FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id
-      |          GROUP BY 1, 2),
-      |pairs AS (SELECT da AS doc_id_a, db AS doc_id_b,
-      |                 i*1.0/(ca.c+cb.c-i) AS jaccard
-      |          FROM inter
-      |          JOIN card ca ON ca.doc_id=da JOIN card cb ON cb.doc_id=db
-      |          WHERE i*1.0/(ca.c+cb.c-i) >= 0.5)""".stripMargin
+  private def pairsCteAt(tau: Double): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s
+       |       FROM toks, LATERAL unnest(range(1, len(w)-1)) AS g(i)),
+       |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT da AS doc_id_a, db AS doc_id_b,
+       |                 i*1.0/(ca.c+cb.c-i) AS jaccard
+       |          FROM inter
+       |          JOIN card ca ON ca.doc_id=da JOIN card cb ON cb.doc_id=db
+       |          WHERE i*1.0/(ca.c+cb.c-i) >= $tau)""".stripMargin
+  private val pairsCte: String = pairsCteAt(cfg.threshold)
 
   private val clustersCte: String =
     s"""$pairsCte,
@@ -58,43 +70,152 @@ object SparkEntry {
        |clusters AS (SELECT a AS doc_id, least(min(b), a) AS cluster_id
        |             FROM reach GROUP BY a)""".stripMargin
 
-  /** One per implemented operator from SURVEY.md §2. */
+  /** One per implemented operator from SURVEY.md §2 (+ training-data ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // J1+F3-F5: LSH banding -> candidate self-join -> exact verify ->
-    // canonical dedup'd pairs (the reference generate_matches pipeline)
+    // --- dedup core -----------------------------------------------------
     "q_minhash_lsh_pairs" -> ((s, dir) => pairsOut(Dedup.pairs(docs(s, dir), cfg))),
-    // correctness anchor: complete inverted-index exact-jaccard pairs
     "q_ngram_jaccard_pairs" -> ((s, dir) =>
       pairsOut(Dedup.exactJaccardPairs(docs(s, dir), cfg))),
-    // A7: connected components (DBSCAN min_samples=1 semantics)
     "q_dup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.pairs(docs(s, dir), cfg))
         .select(col("id").as("doc_id"), col("cluster_id"))),
-    // A6: cluster summary
     "q_cluster_sizes" -> ((s, dir) =>
       Dedup.clusters(Dedup.pairs(docs(s, dir), cfg))
         .groupBy("cluster_id").agg(count(lit(1)).as("n_docs"))),
-    // A5: match-count per file (undirected edges, both directions)
     "q_match_counts" -> ((s, dir) => {
       val p = Dedup.pairs(docs(s, dir), cfg)
       p.select(col("id_a").as("doc_id"))
         .union(p.select(col("id_b").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
     }),
-    // exact dedup: hash-groupBy on normalized text (sha256 identity analog)
-    "q_exact_dedup" -> ((s, dir) =>
-      Dedup.exactDuplicates(docs(s, dir))),
-    // SimHash near-dup pairs (no SQL-expressible oracle: xxhash64-based;
-    // completeness property-tested in DedupPipelineSpec)
+    "q_exact_dedup" -> ((s, dir) => Dedup.exactDuplicates(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => {
       val sigs = Dedup.signatures(Dedup.shingleSets(docs(s, dir), cfg), cfg)
       Dedup.simhashPairs(sigs, hammingMax = 3)
         .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"), col("hamming"))
+    }),
+    // suffix-array exact-substring pass over low-threshold candidates
+    "q_substring_containment" -> ((s, dir) => {
+      val cands = Dedup.exactJaccardPairs(docs(s, dir), cfg.copy(threshold = 0.3))
+      ExactSubstring.containmentPairs(cands, docs(s, dir))
+        .select(col("id_a").cast("long").as("doc_id_a"),
+          col("id_b").cast("long").as("doc_id_b"), col("contained"))
+    }),
+    // F6/J3: pair quality filter — drop pairs touching a flagged doc
+    // (short text or zh lang plays the dark-video flag)
+    "q_pair_quality_filter" -> ((s, dir) => {
+      val flagged = documents(s, dir)
+        .where(col("n_chars") < 250 || col("lang") === "zh")
+        .select(col("doc_id"))
+      val p = pairsOut(Dedup.pairs(docs(s, dir), cfg))
+      p.join(flagged.select(col("doc_id").as("doc_id_a")), Seq("doc_id_a"), "left_anti")
+        .join(flagged.select(col("doc_id").as("doc_id_b")), Seq("doc_id_b"), "left_anti")
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    }),
+    // --- serving / graph queries (SURVEY §3.3) --------------------------
+    "q_counts_by_threshold" -> ((s, dir) =>
+      Serving.counts(docs(s, dir), edges(s, dir), relatedMin = 0.5, dupMin = 0.8)),
+    "q_list_by_match_count" -> ((s, dir) =>
+      Serving.listByMatchCount(docs(s, dir), edges(s, dir), limit = 20)),
+    "q_nhop_cluster" -> ((s, dir) => {
+      val e = edges(s, dir).localCheckpoint(true)
+      val seed = e.agg(min(col("id_a"))).head.getLong(0)
+      Serving.nHopCluster(e, seed, hops = 2)
+        .select(col("doc_id"), col("hop"))
+    }),
+    "q_has_matches" -> ((s, dir) =>
+      Serving.withMatches(docs(s, dir), edges(s, dir), thr = 0.8)
+        .select(col("id").as("doc_id"))),
+    "q_no_matches" -> ((s, dir) =>
+      Serving.withMatches(docs(s, dir), edges(s, dir), thr = 0.5, has = false)
+        .select(col("id").as("doc_id"))),
+    // --- text analysis (training-data ops) ------------------------------
+    "q_text_quality" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val toks = split(col("text"), " ")
+      d.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars2"),
+        size(toks).cast("long").as("n_tokens"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") / size(toks))
+          .as("avg_word_len"),
+        (size(filter(toks, t => t.isin("the", "a", "of", "and"))).cast("double") /
+          size(toks)).as("stop_ratio"))
+    }),
+    "q_token_freq" -> ((s, dir) =>
+      documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)),
+    "q_lang_stats" -> ((s, dir) =>
+      documents(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          avg(col("n_chars")).as("avg_chars"))),
+    "q_doc_fingerprints" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        graft.functions.TextFunctions.fingerprint64(col("text")).as("fp64"))),
+    // --- similarity search over embeddings ------------------------------
+    "q_ann_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir).select(col("vec_id").as("id"), col("embedding"))
+      Embeddings.bruteForceTopK(e, e, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+    }),
+    "q_ann_srp" -> ((s, dir) => {
+      val e = embeddings(s, dir).select(col("vec_id").as("id"), col("embedding"))
+      Embeddings.srpTopK(e, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+    }),
+    // --- incremental-window / streaming-shaped queries ------------------
+    "q_events_window" -> ((s, dir) =>
+      graft.streaming.IncrementalIngest.windowedCounts(events(s, dir), "ts", "1 hour")
+        .select(col("win_start"), col("event_type"), col("n"),
+          round(col("total_value"), 4).as("total_value"))),
+    "q_incremental_window" -> ((s, dir) =>
+      events(s, dir)
+        .where(col("ts") >= lit("2024-01-10 00:00:00") &&
+          col("ts") < lit("2024-01-17 00:00:00"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))),
+    // --- relational anchors (generic operator correctness) --------------
+    "q1_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"))),
+    "q_join_agg" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      c.join(o.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+    "q_window_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"), col("rk"))
     })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (xxhash64/SRP-based): q_simhash_pairs, q_doc_fingerprints, q_ann_srp
+    * -> driver records rows-only checks; their semantics are covered by
+    * ScalaTest oracles instead.
     */
   def oracleSql: Map[String, String] = Map(
     "q_minhash_lsh_pairs" ->
@@ -111,6 +232,99 @@ object SparkEntry {
         "SELECT doc_id, count(*) AS n_matches FROM e GROUP BY 1"),
     "q_exact_dedup" ->
       ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash, " +
-        "count(*) AS n_docs, min(doc_id) AS keeper_id FROM documents GROUP BY 1")
+        "count(*) AS n_docs, min(doc_id) AS keeper_id FROM documents GROUP BY 1"),
+    "q_substring_containment" ->
+      (s"WITH ${pairsCteAt(0.3)} SELECT doc_id_a, doc_id_b, " +
+        "(strpos(CASE WHEN len(ta.text) >= len(tb.text) THEN ta.text ELSE tb.text END, " +
+        "        CASE WHEN len(ta.text) >= len(tb.text) THEN tb.text ELSE ta.text END) > 0) AS contained " +
+        "FROM pairs JOIN documents ta ON ta.doc_id = doc_id_a " +
+        "JOIN documents tb ON tb.doc_id = doc_id_b"),
+    "q_pair_quality_filter" ->
+      (s"WITH $pairsCte, flagged AS (SELECT doc_id FROM documents " +
+        "WHERE n_chars < 250 OR lang = 'zh') " +
+        "SELECT doc_id_a, doc_id_b, jaccard FROM pairs " +
+        "WHERE doc_id_a NOT IN (SELECT doc_id FROM flagged) " +
+        "AND doc_id_b NOT IN (SELECT doc_id FROM flagged)"),
+    "q_counts_by_threshold" ->
+      (s"WITH $pairsCte, e AS (SELECT doc_id_a AS doc_id, jaccard FROM pairs " +
+        "UNION ALL SELECT doc_id_b, jaccard FROM pairs), " +
+        "m AS (SELECT doc_id, max(jaccard) AS max_sim FROM e GROUP BY 1), " +
+        "j AS (SELECT d.doc_id, m.max_sim FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id) " +
+        "SELECT count(*) AS total, " +
+        "CAST(sum(CASE WHEN max_sim >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS related, " +
+        "CAST(sum(CASE WHEN max_sim >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS duplicates, " +
+        "CAST(sum(CASE WHEN max_sim IS NULL OR max_sim < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS unique_docs " +
+        "FROM j"),
+    "q_list_by_match_count" ->
+      (s"WITH $pairsCte, e AS (SELECT doc_id_a AS doc_id FROM pairs " +
+        "UNION ALL SELECT doc_id_b FROM pairs), " +
+        "cnt AS (SELECT doc_id, count(*) AS hit_count FROM e GROUP BY 1), " +
+        "j AS (SELECT d.doc_id, coalesce(cnt.hit_count, 0) AS hit_count " +
+        "      FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id), " +
+        "r AS (SELECT doc_id, hit_count, row_number() OVER " +
+        "      (ORDER BY hit_count DESC, doc_id ASC) AS rn FROM j) " +
+        "SELECT doc_id, hit_count FROM r WHERE rn <= 20"),
+    "q_nhop_cluster" ->
+      (s"WITH RECURSIVE $pairsCte, " +
+        "e AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs " +
+        "      UNION SELECT doc_id_b, doc_id_a FROM pairs), " +
+        "seed AS (SELECT min(doc_id_a) AS s FROM pairs), " +
+        "walk(doc_id, hop) AS (" +
+        "  SELECT s, 0 FROM seed " +
+        "  UNION " +
+        "  SELECT e.dst, walk.hop + 1 FROM walk JOIN e ON e.src = walk.doc_id " +
+        "  WHERE walk.hop < 2) " +
+        "SELECT doc_id, CAST(min(hop) AS INTEGER) AS hop FROM walk GROUP BY doc_id"),
+    "q_has_matches" ->
+      (s"WITH $pairsCte SELECT DISTINCT doc_id FROM (" +
+        "SELECT doc_id_a AS doc_id FROM pairs WHERE jaccard >= 0.8 " +
+        "UNION ALL SELECT doc_id_b FROM pairs WHERE jaccard >= 0.8)"),
+    "q_no_matches" ->
+      (s"WITH $pairsCte, m AS (SELECT doc_id_a AS doc_id FROM pairs " +
+        "UNION SELECT doc_id_b FROM pairs) " +
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM m)"),
+    "q_text_quality" ->
+      ("SELECT doc_id, len(text) AS n_chars2, " +
+        "len(string_split(text, ' ')) AS n_tokens, " +
+        "len(replace(text, ' ', ''))*1.0/len(string_split(text, ' ')) AS avg_word_len, " +
+        "len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and')))*1.0" +
+        "/len(string_split(text, ' ')) AS stop_ratio FROM documents"),
+    "q_token_freq" ->
+      ("SELECT token, count(*) AS n FROM (SELECT unnest(string_split(text, ' ')) AS token " +
+        "FROM documents) GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20"),
+    "q_lang_stats" ->
+      "SELECT lang, count(*) AS n_docs, avg(n_chars) AS avg_chars FROM documents GROUP BY 1",
+    "q_ann_topk" ->
+      ("WITH p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos " +
+        "FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id), " +
+        "r AS (SELECT query_id, neighbor_id, round(cos, 4) AS cosine, " +
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank " +
+        "FROM p) SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5"),
+    "q_events_window" ->
+      ("SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n, " +
+        "round(sum(value), 4) AS total_value FROM events GROUP BY 1, 2"),
+    "q_incremental_window" ->
+      ("SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users " +
+        "FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' " +
+        "AND ts < TIMESTAMP '2024-01-17 00:00:00' GROUP BY 1"),
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price " +
+        "FROM lineitem GROUP BY 1, 2"),
+    "q_join_agg" ->
+      ("SELECT c_mktsegment, count(*) AS n_orders, " +
+        "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"),
+    "q_anti_join" ->
+      ("SELECT c_custkey, c_mktsegment FROM customer " +
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"),
+    "q_window_topk" ->
+      ("WITH r AS (SELECT o_custkey, o_orderkey, " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS price, " +
+        "CAST(row_number() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rk FROM orders) " +
+        "SELECT o_custkey, o_orderkey, price, rk FROM r WHERE rk <= 3")
   )
 }

@@ -81,7 +81,36 @@ object Expressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Deterministic cosine similarity over two float arrays. */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.cosineSim($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Signed-random-projection sign-bit signature of a float embedding. */
+  case class SrpSig(child: Expression, bits: Int, table: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      Kernels.srpSig(input.asInstanceOf[ArrayData], bits, table)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.srpSig($c, $bits, $table)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // Column-level API
+  def cosineSim(a: Column, b: Column): Column =
+    GraftGlue.column(CosineSim(GraftGlue.expression(a), GraftGlue.expression(b)))
+  def srpSig(v: Column, bits: Int, table: Int): Column =
+    GraftGlue.column(SrpSig(GraftGlue.expression(v), bits, table))
   def shingleHashes(text: Column, k: Int): Column =
     GraftGlue.column(ShingleHashes(GraftGlue.expression(text), k))
   def minhashSig(shingles: Column, numHashes: Int): Column =

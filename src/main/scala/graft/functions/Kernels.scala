@@ -122,6 +122,46 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Cosine similarity of two float arrays, accumulated left-to-right
+    * in double precision — deterministic across partitionings.
+    */
+  def cosineSim(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Signed-random-projection signature: `bits` sign bits of dot products
+    * with pseudo-random ±1 hyperplanes derived from XXH64 — hyperplane t,b
+    * has component j = +1 iff hash(j, seed(t,b)) has low bit set.
+    * Deterministic; no stored model.
+    */
+  def srpSig(v: ArrayData, bits: Int, table: Int): Long = {
+    val n = v.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      val seed = XXH64.hashLong((table.toLong << 32) | b.toLong, 4242L)
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        val sign = if ((XXH64.hashLong(j.toLong, seed) & 1L) == 1L) 1.0 else -1.0
+        dot += sign * v.getFloat(j)
+        j += 1
+      }
+      if (dot > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   /** Exact Jaccard of two long-array SETS (inputs must be distinct;
     * order free). Hash-probe on the smaller side.
     */

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-partition checkpoint / lineage / metrics store (north-rule:
+  * "checkpoints per-partition progress with lineage and metrics ...
+  * for resumable restarts"). Generalizes the reference's
+  * skip-if-repr-exists keyed by (path, sha256, config-tag)
+  * (`extract_features.py:61`, `winnow/utils/utils.py:186-222`) to
+  * bucket granularity: work is hash-bucketed by id, and a completed
+  * bucket is recorded as a checkpoint row; a restart recomputes only
+  * missing buckets; a config-tag change invalidates everything
+  * (reference `repr_key.py:10-15` semantics).
+  *
+  * Storage is a plain parquet directory (in production: an Iceberg
+  * table with MERGE; parquet-append + read-time dedup keeps the same
+  * idempotent contract here without the Iceberg runtime).
+  */
+final class CheckpointStore(spark: SparkSession, path: String) {
+  import spark.implicits._
+
+  private def tableDir = s"$path/checkpoints"
+
+  def read(): DataFrame = {
+    val empty = spark.createDataset(
+      Seq.empty[(String, Int, String, Long, Long, Long)])
+      .toDF("stage", "bucket", "config_tag", "rows", "wall_ms", "ts")
+    try {
+      val df = spark.read.parquet(tableDir)
+      if (df.columns.nonEmpty) df else empty
+    } catch { case _: Throwable => empty }
+  }
+
+  /** Buckets already completed for (stage, configTag). */
+  def completedBuckets(stage: String, configTag: String): Set[Int] =
+    read().where(col("stage") === stage && col("config_tag") === configTag)
+      .select("bucket").distinct().as[Int].collect().toSet
+
+  /** Record completion rows (append; read-time dedup keeps idempotency). */
+  def record(stage: String, configTag: String,
+             bucketRows: Seq[(Int, Long)], wallMs: Long): Unit = {
+    val ts = System.currentTimeMillis()
+    spark.createDataset(bucketRows.map { case (b, n) =>
+      (stage, b, configTag, n, wallMs, ts)
+    }).toDF("stage", "bucket", "config_tag", "rows", "wall_ms", "ts")
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(tableDir)
+  }
+
+  /** Stage-level metrics view (lineage: per-bucket rows + timings). */
+  def metrics(): DataFrame =
+    read().groupBy("stage", "config_tag")
+      .agg(countDistinct(col("bucket")).as("buckets"),
+        sum(col("rows")).as("rows"),
+        max(col("ts")).as("last_ts"))
+}
+
+/** Resumable dedup job: signatures stage is computed bucket-by-bucket
+  * (pmod(xxhash64(id), buckets)), checkpointed, and written as a
+  * partitioned parquet table; pairs + clusters stages recompute from the
+  * signatures table (cheap relative to signing at corpus scale, and the
+  * reference regenerates matches globally the same way,
+  * `ray_extract_features.py:100,241-367`).
+  */
+object ResumableDedupJob {
+
+  /** Run (or resume) the signature stage; returns the signatures table.
+    * Skips buckets checkpointed under the same config tag; recomputes
+    * everything if the tag changed.
+    */
+  def signaturesStage(docs: DataFrame, cfg: DedupConfig, workDir: String,
+                      buckets: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    val store = new CheckpointStore(spark, workDir)
+    val done = store.completedBuckets("signatures", cfg.configTag)
+    val missing = (0 until buckets).filterNot(done.contains)
+    val sigDir = s"$workDir/signatures/tag=${cfg.configTag}"
+    if (missing.nonEmpty) {
+      val t0 = System.currentTimeMillis()
+      val withBucket = docs
+        .withColumn("bucket", pmod(xxhash64(col("id")), lit(buckets)).cast("int"))
+        .where(col("bucket").isin(missing: _*))
+      val sigs = Dedup.signatures(Dedup.shingleSets(
+          withBucket.select(col("id"), col("text"), col("bucket")), cfg), cfg)
+        .join(withBucket.select(col("id"), col("bucket")), "id")
+      sigs.write.mode(SaveMode.Append).partitionBy("bucket").parquet(sigDir)
+      val counts = spark.read.parquet(sigDir)
+        .where(col("bucket").isin(missing: _*))
+        .groupBy("bucket").count()
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      // buckets that produced zero rows still count as completed
+      val all = missing.map(b =>
+        (b, counts.toMap.getOrElse(b, 0L))).toSeq
+      store.record("signatures", cfg.configTag, all,
+        System.currentTimeMillis() - t0)
+    }
+    docs.sparkSession.read.parquet(sigDir)
+  }
+
+  /** Full resumable run: signatures (bucket-checkpointed) -> pairs ->
+    * clusters, with pairs/clusters written once and stamped by tag.
+    */
+  def run(docs: DataFrame, cfg: DedupConfig, workDir: String,
+          buckets: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    val sigs = signaturesStage(docs, cfg, workDir, buckets)
+    val shingled = sigs.select(col("id"), col("shingles"))
+    val cands = Dedup.candidatePairs(Dedup.bandTable(sigs, cfg))
+    val pairs = Dedup.verifiedPairs(cands, shingled, cfg)
+    val clusters = Dedup.clusters(pairs)
+    clusters.write.mode(SaveMode.Overwrite)
+      .parquet(s"$workDir/clusters/tag=${cfg.configTag}")
+    spark.read.parquet(s"$workDir/clusters/tag=${cfg.configTag}")
+  }
+}
