@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.functions.{Kernels, MinHash, TextFunctions, Expressions}
+
+/** Unit + property tests for the expression/kernel layer (reference test
+  * style: hermetic unit tests, `tests/winnow/`). ScalaCheck Gen drives
+  * the property tests through a fixed-seed sampler (no scalatestplus in
+  * the offline cache).
+  */
+class FunctionsSpec extends SparkSpecBase {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Deterministic ScalaCheck sampling. */
+  private def samples[T](g: Gen[T], n: Int = 60): Seq[T] = {
+    val params = org.scalacheck.Gen.Parameters.default
+    (0 until n).flatMap(i =>
+      g.apply(params, org.scalacheck.rng.Seed(42L + i)))
+  }
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    samples(ga).zip(samples(gb)).foreach { case (a, b) => f(a, b) }
+
+  test("shingle kernel == builtin array_distinct(transform(.., xxhash64)) bit-for-bit") {
+    val spark2 = spark
+    import spark2.implicits._
+    val texts = Seq("a b c d e", "a a a a", "x", "", "one two", "a  b   c",
+      "word word word word word", "tail space ", " lead space")
+    val df = texts.toDF("text")
+    val builtin = df.select(TextFunctions.shingleHashes(col("text"), 3)).collect()
+    val kernel = df.select(Expressions.shingleHashes(col("text"), 3)).collect()
+    builtin.zip(kernel).zipWithIndex.foreach { case ((b, k), i) =>
+      assert(b.getSeq[Long](0).sorted == k.getSeq[Long](0).sorted,
+        s"mismatch on '${texts(i)}'")
+    }
+  }
+
+  test("minhash expression == MinHashAgg UDAF bits (shared permutation family)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a b c d e f g"), (2L, "q w e r t y u i")).toDF("id", "text")
+    val shingled = docs.select(col("id"),
+      Expressions.shingleHashes(col("text"), 3).as("shingles"))
+    val viaExpr = shingled
+      .select(col("id"), Expressions.minhashSig(col("shingles"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaUdaf = shingled
+      .select(col("id"), explode(col("shingles")).as("h"))
+      .groupBy("id").agg(MinHash.minhashAgg(16)(col("h")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr == viaUdaf)
+  }
+
+  test("minhash merge is commutative/associative/idempotent (property)") {
+    val agg = new MinHash.MinHashAgg(8)
+    forAll2(Gen.listOf(Gen.long), Gen.listOf(Gen.long)) { (xs: List[Long], ys: List[Long]) =>
+      def sigOf(hs: List[Long]) = hs.foldLeft(agg.zero)(agg.reduce)
+      val ab = agg.merge(sigOf(xs), sigOf(ys)).toSeq
+      val ba = agg.merge(sigOf(ys), sigOf(xs)).toSeq
+      val all = sigOf(xs ++ ys).toSeq
+      assert(ab == ba && ab == all)
+      assert(agg.merge(sigOf(xs), sigOf(xs)).toSeq == sigOf(xs).toSeq)
+    }
+  }
+
+  test("estimated jaccard from minhash approximates exact jaccard") {
+    forAll2(Gen.zip(Gen.chooseNum(0, 100), Gen.chooseNum(0, 100)), Gen.chooseNum(1, 100)) {
+      case ((nA: Int, nB: Int), nShared: Int) =>
+        val shared = (1 to nShared).map(i => Kernels.cachedSeeds(1)(0) * i + 7L)
+        val a = shared ++ (1 to nA).map(i => 1000000L + i)
+        val b = shared ++ (1 to nB).map(i => 2000000L + i)
+        val sigA = Kernels.minhashSig(new GenericArrayData(a.toArray), 256)
+        val sigB = Kernels.minhashSig(new GenericArrayData(b.toArray), 256)
+        var eq = 0
+        (0 until 256).foreach(i => if (sigA.getLong(i) == sigB.getLong(i)) eq += 1)
+        val est = eq / 256.0
+        val exact = (a.toSet & b.toSet).size.toDouble / (a.toSet | b.toSet).size
+        assert(math.abs(est - exact) < 0.22, s"est=$est exact=$exact")
+    }
+  }
+
+  test("simhash: identical input -> hamming 0; hamming is symmetric and bounded") {
+    val x = new GenericArrayData(Array(1L, 2L, 3L, 99L))
+    val y = new GenericArrayData(Array(1L, 2L, 3L, 100L))
+    val fx = Kernels.simhash64(x)
+    val fx2 = Kernels.simhash64(new GenericArrayData(Array(99L, 3L, 2L, 1L)))
+    assert(fx == fx2) // order-insensitive
+    val fy = Kernels.simhash64(y)
+    val d = java.lang.Long.bitCount(fx ^ fy)
+    assert(d >= 0 && d <= 64)
+  }
+
+  test("extractText: tags/scripts/styles/entities stripped, whitespace collapsed") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cases = Seq(
+      ("<html><body><p>hello world</p></body></html>", "hello world"),
+      ("<div>a<script>var x = 1 < 2;</script>b</div>", "a b"),
+      ("<style>p { color: red }</style>text", "text"),
+      ("a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;end", "a & b <tag> \"q\" 's' end"),
+      ("  lots   of\n\twhitespace  ", "lots of whitespace"),
+      ("<SCRIPT src='x'>ignore()</script>MIXED<Style>s</STYLE>case", "MIXED case"),
+      ("", ""),
+      ("no markup at all", "no markup at all"))
+    val df = cases.map(_._1.getBytes("UTF-8")).toDF("html")
+    val got = df.select(TextFunctions.extractText(col("html"))).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g == w) }
+  }
+
+  test("langId + qualityScore + tokenCount sanity") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      "the cat and the dog went to the market and it is good",
+      "der hund und die katze ist nicht ein problem",
+      "el que la los y es de la casa",
+      "xyzzy plugh").toDF("text")
+    val got = df.select(TextFunctions.langId(col("text"))).as[String].collect()
+    assert(got(0) == "en" && got(1) == "de" && got(2) == "es" && got(3) == "und")
+    val q = df.select(TextFunctions.qualityScore(col("text"))).as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(0) > q(3)) // real sentence beats gibberish
+    val t = df.select(TextFunctions.tokenCount(col("text"))).as[Int].collect()
+    assert(t(0) == 13 && t(3) == 2)
+  }
+
+  test("cosine kernel: unit vectors, orthogonal, self-similarity") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 1.0f), Array(-1.0f, -1.0f), -1.0),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f), 0.0) // zero-norm guard
+    ).toDF("a", "b", "want")
+    df.select(Expressions.cosineSim(col("a"), col("b")).as("got"), col("want"))
+      .collect().foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("winnowing fingerprints: deterministic, shift-robust sampling") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(base, "PREFIX " + base).toDF("text")
+    val fps = df.select(TextFunctions.winnowFingerprints(col("text"), 8, 4))
+      .collect().map(_.getSeq[Long](0).toSet)
+    // content-defined sampling: shared content yields mostly shared fingerprints
+    val shared = (fps(0) & fps(1)).size.toDouble
+    assert(shared / math.max(1, fps(0).size) > 0.8)
+  }
+}

@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.corpus.SynthCorpus
+import graft.functions.Embeddings
+import graft.pipeline.{CheckpointStore, Dedup, DedupConfig, ResumableDedupJob}
+import graft.streaming.IncrementalIngest
+
+/** Resume-from-checkpoint, incremental streaming parity, ANN recall,
+  * and multimodal plumbing tests.
+  */
+class ResumeStreamingAnnSpec extends SparkSpecBase {
+  private val cfg = DedupConfig()
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("resumable job: interrupted run skips completed buckets, final tables identical") {
+    val docs = Dedup.fromDocuments(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    val cleanDir = tmpDir("graft-clean")
+    val resumeDir = tmpDir("graft-resume")
+    val buckets = 8
+
+    // clean run end-to-end
+    val clean = ResumableDedupJob.run(docs, cfg, cleanDir, buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // interrupted run: sign only buckets {0..3} (simulate kill by running
+    // the signature stage against a doc subset covering those buckets)
+    val withBucket = docs.withColumn("b",
+      pmod(xxhash64(col("id")), lit(buckets)).cast("int"))
+    ResumableDedupJob.signaturesStage(
+      withBucket.where(col("b") < 4).drop("b"), cfg, resumeDir, buckets)
+    val store = new CheckpointStore(spark, resumeDir)
+    val doneAfterKill = store.completedBuckets("signatures", cfg.configTag)
+    assert(doneAfterKill == (0 until buckets).toSet,
+      "subset run records all buckets it attempted")
+    // drop checkpoint rows for buckets >= 4 to model a crash mid-stage:
+    // rewrite the checkpoint table keeping only buckets 0..3
+    val kept = store.read().where(col("bucket") < 4)
+    val rows = kept.collect()
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$resumeDir/checkpoints"))
+    store.record("signatures", cfg.configTag,
+      rows.map(r => (r.getInt(1), r.getLong(3))).toSeq, 0L)
+    // ALSO remove the parquet rows of un-checkpointed buckets (a crash
+    // before commit leaves nothing durable for them)
+    val sigDir = s"$resumeDir/signatures/tag=${cfg.configTag}"
+    (4 until buckets).foreach { b =>
+      val d = new java.io.File(s"$sigDir/bucket=$b")
+      if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
+    }
+
+    // resume: full input; must recompute exactly buckets 4..7
+    val before = store.completedBuckets("signatures", cfg.configTag)
+    assert(before == Set(0, 1, 2, 3))
+    val resumed = ResumableDedupJob.run(docs, cfg, resumeDir, buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(resumed == clean)
+    val after = store.completedBuckets("signatures", cfg.configTag)
+    assert(after == (0 until buckets).toSet)
+  }
+
+  test("config-tag change invalidates checkpoints (recompute everything)") {
+    val docs = Dedup.fromDocuments(
+      spark.read.parquet(s"$sfDir/documents.parquet")).limit(50)
+    val dir = tmpDir("graft-tag")
+    ResumableDedupJob.signaturesStage(docs, cfg, dir, buckets = 4)
+    val store = new CheckpointStore(spark, dir)
+    assert(store.completedBuckets("signatures", cfg.configTag).size == 4)
+    val cfg2 = cfg.copy(shingleK = 4)
+    assert(store.completedBuckets("signatures", cfg2.configTag).isEmpty)
+    ResumableDedupJob.signaturesStage(docs, cfg2, dir, buckets = 4)
+    assert(store.completedBuckets("signatures", cfg2.configTag).size == 4)
+    // both signature tables coexist, partitioned by tag
+    assert(spark.read.parquet(s"$dir/signatures/tag=${cfg.configTag}").count() > 0)
+    assert(spark.read.parquet(s"$dir/signatures/tag=${cfg2.configTag}").count() > 0)
+  }
+
+  test("streaming incremental ingest converges to the batch pipeline's pair set") {
+    val spark2 = spark
+    import spark2.implicits._
+    val (pages, _) = SynthCorpus.generate(spark, seed = 11L, nBase = 150, dupRate = 0.3)
+    val rows = pages.select("url", "text").as[(String, String)].collect().toSeq
+    val workDir = tmpDir("graft-stream")
+    val ckDir = tmpDir("graft-stream-ck")
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    // three micro-batches (the fork's 600 s ingest windows)
+    val batches = rows.grouped(math.max(1, rows.size / 3 + 1)).toSeq
+    batches.foreach { b =>
+      mem.addData(b)
+      val q = IncrementalIngest.start(
+        mem.toDF().toDF("url", "text"), cfg, workDir, ckDir)
+      q.awaitTermination()
+    }
+
+    val streamed = IncrementalIngest.pairs(spark, workDir, cfg)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val batch = Dedup.pairs(Dedup.fromPages(pages), cfg)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamed == batch)
+    // idempotent signature flush: one row per doc
+    val sigs = IncrementalIngest.signatures(spark, workDir, cfg)
+    assert(sigs.select("id").distinct().count() == sigs.count())
+  }
+
+  test("ANN: SRP-LSH recall vs brute force on labeled embeddings") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val exact = Embeddings.bruteForceTopK(e, e, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // this corpus has only weak neighbors (top-5 cosine median ~0.32,
+    // collision prob per hyperplane ~0.6) -> short codes, many tables:
+    // est. recall 1-(1-0.6^4)^16 ~ 0.89
+    val approx = Embeddings.srpTopK(e, k = 5, bits = 4, tables = 16)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"SRP recall $recall too low") // approximate path
+    // exact result is a valid top-k table: 5 ranked rows per query
+    assert(exact.size == e.count() * 5)
+  }
+
+  test("multimodal plumbing: schema, determinism, partition-preserving batch execution") {
+    val spark2 = spark
+    import spark2.implicits._
+    val media = (0 until 64).map(i =>
+      (s"m$i", Array.tabulate[Byte](100 + i)(j => ((i * 31 + j) % 127).toByte)))
+      .toDF("id", "bytes").repartition(8)
+    val meta = graft.multimodal.BinaryPipeline.decode(media)
+    assert(meta.columns.toSeq ==
+      Seq("id", "format", "width", "height", "n_frames"))
+    assert(meta.count() == 64)
+    val frames = graft.multimodal.BinaryPipeline.sampleAndFeaturize(media, stride = 2, dim = 8)
+    assert(frames.rdd.getNumPartitions == 8) // no shuffle introduced
+    val f1 = frames.collect().map(f => (f.id, f.frameIdx, f.feature.toSeq)).toSet
+    val f2 = graft.multimodal.BinaryPipeline.sampleAndFeaturize(media, stride = 2, dim = 8)
+      .collect().map(f => (f.id, f.frameIdx, f.feature.toSeq)).toSet
+    assert(f1 == f2)
+    val emb = graft.multimodal.BinaryPipeline.itemEmbedding(frames)
+    assert(emb.columns.toSeq == Seq("id", "n_frames", "embedding"))
+    assert(emb.count() == 64)
+  }
+}
