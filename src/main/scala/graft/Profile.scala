@@ -20,8 +20,9 @@ object Profile {
       println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    val docs = Dedup.fromDocuments(
-      spark.read.parquet(s"$sfDir/documents.parquet")).cache()
+    val docs = (if (new java.io.File(s"$sfDir/documents.parquet").exists())
+      Dedup.fromDocuments(spark.read.parquet(s"$sfDir/documents.parquet"))
+    else Dedup.fromPages(spark.read.parquet(sfDir))).cache()
     time("read+count")(docs.count())
     val shingled = time("shingle (persist+count)") {
       val s = Dedup.shingleSets(docs, cfg)
@@ -45,6 +46,8 @@ object Profile {
     }
     time("cc")(Dedup.clusters(pairs).count())
     time("cc-again")(Dedup.clusters(pairs).count())
+    val light = sys.env.get("SPARK_GRAFT_PROFILE_LIGHT").contains("1")
+    if (light) { spark.stop(); return }
     locally {
       import org.apache.spark.sql.functions._
       time("lower only")(docs.select(lower(col("text"))).count())

@@ -91,44 +91,56 @@ object SynthCorpus {
     html.getBytes("UTF-8")
   }
 
-  /** Generate the corpus: nBase originals; each with probability dupRate
-    * spawns 1-3 mutated near-dup variants. Returns (pages, labels).
+  /** All pages (base + variants) derived from one base index — content
+    * is a pure function of (seed, i), so generation is deterministic
+    * under ANY partitioning (SURVEY.md §7.4(4)).
+    */
+  private def genOne(seed: Long, i: Long, dupRate: Double,
+                     skewBoilerplate: Boolean): (Seq[Page], Seq[Label]) = {
+    val rng = new Rng(seed ^ (i * 0x9e3779b97f4a7c15L))
+    val boilerRng = new Rng(seed) // shared across docs: hot-shingle fixture
+    val sharedBoiler = baseText(boilerRng, 12)
+    val t0 = 1700000000000L
+    val url = f"https://example.org/doc/$seed%x/$i%08d"
+    val lang = langs(rng.nextInt(langs.length))
+    var text = baseText(rng, 30 + rng.nextInt(60))
+    if (skewBoilerplate && rng.nextDouble() < 0.3) text = s"$sharedBoiler $text"
+    val ts = new Timestamp(t0 + rng.nextInt(86400 * 30) * 1000L)
+    val pages = Vector.newBuilder[Page]
+    val labels = Vector.newBuilder[Label]
+    pages += Page(url, ts, wrapHtml(text, rng), text, lang)
+    if (rng.nextDouble() < dupRate) {
+      val nVar = 1 + rng.nextInt(3)
+      var v = 0
+      while (v < nVar) {
+        val mut = mutations(rng.nextInt(mutations.length))
+        val vUrl = f"$url/v$v"
+        val vText = mutate(rng, text, mut)
+        val vTs = new Timestamp(t0 + rng.nextInt(86400 * 30) * 1000L)
+        pages += Page(vUrl, vTs, wrapHtml(vText, rng), vText, lang)
+        labels += Label(vUrl, url, mut, 1.0 - jaccardWords(text, vText))
+        v += 1
+      }
+    }
+    (pages.result(), labels.result())
+  }
+
+  /** Generate the corpus DISTRIBUTED: nBase originals; each with
+    * probability dupRate spawns 1-3 mutated near-dup variants. Content is
+    * content-derived per index, so the tables are identical under any
+    * parallelism. Returns (pages, labels).
     */
   def generate(spark: SparkSession, seed: Long, nBase: Int,
                dupRate: Double = 0.2,
                skewBoilerplate: Boolean = false): (DataFrame, DataFrame) = {
-    val pages = Vector.newBuilder[Page]
-    val labels = Vector.newBuilder[Label]
-    val rng = new Rng(seed)
-    val sharedBoiler = baseText(rng, 12) // hot-shingle fixture (FIXTURES.md §7)
-    val t0 = 1700000000000L
-    var i = 0
-    while (i < nBase) {
-      val url = f"https://example.org/doc/$seed%x/$i%06d"
-      val lang = langs(rng.nextInt(langs.length))
-      var text = baseText(rng, 30 + rng.nextInt(60))
-      if (skewBoilerplate && rng.nextDouble() < 0.3) text = s"$sharedBoiler $text"
-      val ts = new Timestamp(t0 + rng.nextInt(86400 * 30) * 1000L)
-      pages += Page(url, ts, wrapHtml(text, rng), text, lang)
-      if (rng.nextDouble() < dupRate) {
-        val nVar = 1 + rng.nextInt(3)
-        var v = 0
-        while (v < nVar) {
-          val mut = mutations(rng.nextInt(mutations.length))
-          val vUrl = f"$url/v$v"
-          val vText = mutate(rng, text, mut)
-          val vTs = new Timestamp(t0 + rng.nextInt(86400 * 30) * 1000L)
-          pages += Page(vUrl, vTs, wrapHtml(vText, rng), vText, lang)
-          labels += Label(vUrl, url, mut,
-            1.0 - jaccardWords(text, vText))
-          v += 1
-        }
-      }
-      i += 1
-    }
     import spark.implicits._
-    (spark.createDataset(pages.result()).toDF(),
-      spark.createDataset(labels.result()).toDF())
+    val pages = spark.range(nBase)
+      .flatMap(i => genOne(seed, i, dupRate, skewBoilerplate)._1)
+      .toDF()
+    val labels = spark.range(nBase)
+      .flatMap(i => genOne(seed, i, dupRate, skewBoilerplate)._2)
+      .toDF()
+    (pages, labels)
   }
 
   /** Word-3-gram jaccard used for label edit rates (driver-side). */

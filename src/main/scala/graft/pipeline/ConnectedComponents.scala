@@ -18,10 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Edge-count threshold below which the component resolution runs as a
+    * single-task union-find instead of the iterative join algorithm.
+    * Rationale: each large/small-star round costs a fixed number of
+    * driver round-trips; when the (already deduplicated, thresholded)
+    * pair graph fits one task comfortably, a local pass is both faster
+    * and produces the identical content-derived labels. At 100 TB the
+    * pair graph exceeds this and the distributed path engages. Both
+    * paths are exercised by ServingAndGraphSpec.
+    */
+  val LocalThreshold: Long = 4L * 1000 * 1000
+
   /** edges(src, dst) of any orderable key type ->
     * assignments(id, component) for every node incident to an edge.
     */
-  def run(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
+  def run(edges: DataFrame, maxIterations: Int = 50,
+          localThreshold: Long = LocalThreshold): DataFrame = {
     val spark = edges.sparkSession
 
     // canonical undirected edges as (big, small) with big > small;
@@ -34,8 +46,22 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(true)
 
+    val nEdges = e.count()
+    if (nEdges <= localThreshold) return localRun(e)
+
     var iter = 0
     var converged = false
+    // convergence fingerprint: (row count, order-free xor-ish hash sum).
+    // Labels only decrease monotonically, so an unchanged fingerprint
+    // means an unchanged edge set (collision prob ~2^-64); one tiny
+    // aggregate per round instead of two except() jobs.
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head() // xor: order-free, no ANSI overflow
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var fp = fingerprint(e)
     while (!converged && iter < maxIterations) {
       // large-star: for each node u, connect every strictly-larger
       // neighbor w to m = min(Gamma(u) ∪ {u})
@@ -59,12 +85,11 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint(true)
 
-      // convergence: star-shaped forest = every u maps to exactly one v
-      // and edge set unchanged
-      val changed = ss.except(e).limit(1).count() + e.except(ss).limit(1).count()
+      val fpNew = fingerprint(ss)
       e.unpersist()
       e = ss
-      converged = changed == 0
+      converged = fpNew == fp
+      fp = fpNew
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIterations rounds")
@@ -73,5 +98,57 @@ object ConnectedComponents {
     e.select(col("u").as("id"), col("v").as("component"))
       .union(e.select(col("v").as("id"), col("v").as("component")))
       .distinct()
+  }
+
+  /** Single-task path-compressed union-find over a small edge set,
+    * executed as ONE Spark task via a 1-partition mapPartitions (the
+    * data never leaves the executors). Labels are the same
+    * content-derived min-member ids as the distributed path.
+    */
+  private def localRun(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val idType = e.schema("u").dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+      org.apache.spark.sql.types.StructField("component", idType, nullable = false)))
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: java.lang.Long, y: java.lang.Long) => x < y
+      case (x: String, y: String) => x < y
+      case (x: java.lang.Integer, y: java.lang.Integer) => x < y
+      case (x, y) => x.toString < y.toString
+    }
+    e.coalesce(1).mapPartitions { it =>
+      val rows = it.toArray
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var root = x
+        while (parent.containsKey(root) && parent.get(root) != root)
+          root = parent.get(root)
+        var cur = x
+        while (parent.containsKey(cur) && parent.get(cur) != cur) {
+          val nxt = parent.get(cur); parent.put(cur, root); cur = nxt
+        }
+        if (!parent.containsKey(root)) parent.put(root, root)
+        root
+      }
+      rows.foreach { r =>
+        val (ru, rv) = (find(r.get(0)), find(r.get(1)))
+        if (ru != rv) {
+          if (lt(ru, rv)) parent.put(rv, ru) else parent.put(ru, rv)
+        }
+      }
+      val seen = new java.util.LinkedHashMap[Any, Any]()
+      rows.foreach { r =>
+        seen.put(r.get(0), find(r.get(0)))
+        seen.put(r.get(1), find(r.get(1)))
+      }
+      val iter = seen.entrySet().iterator()
+      new Iterator[Row] {
+        override def hasNext: Boolean = iter.hasNext
+        override def next(): Row = {
+          val kv = iter.next(); Row(kv.getKey, kv.getValue)
+        }
+      }
+    }(Encoders.row(outSchema))
   }
 }

@@ -19,11 +19,19 @@ import graft.functions.{Expressions, SimHash, TextFunctions}
 final case class DedupConfig(
     shingleK: Int = 3,
     numHashes: Int = 128,
-    bands: Int = 64,
+    bands: Int = 40,
+    rowsPerBand: Int = 3,
     threshold: Double = 0.5,
     minTokens: Int = 3) {
-  require(numHashes % bands == 0, "bands must divide numHashes")
-  val rowsPerBand: Int = numHashes / bands
+  require(bands * rowsPerBand <= numHashes,
+    "bands*rowsPerBand must fit in the signature")
+  // S-curve: P(candidate | jaccard=j) = 1-(1-j^r)^b. At the default
+  // (r=3, b=40): j=0.5 -> 0.995, j=0.7 -> 1-1e-7, j=0.9 -> 1-5e-24;
+  // noise j=0.05 -> 5e-3 (false-candidate rate per pair). r=3 rejects
+  // word-salad noise ~j/r-th power faster than r=2 while keeping
+  // P(miss | j >= threshold) under 0.5% at the threshold itself and
+  // ~0 for true near-dups — verification is exact, so banding only
+  // affects recall, never precision (SURVEY.md §7.4(6)).
 
   /** 40-hex config tag (reference `utils.py:186-200`). */
   lazy val configTag: String = {

@@ -91,12 +91,16 @@ class ServingAndGraphSpec extends SparkSpecBase {
     assert(page2.toSeq == Seq((3L, 2L), (4L, 0L)))
   }
 
-  test("connected components on disjoint unions, chains, cliques") {
+  test("connected components on disjoint unions, chains, cliques (local AND distributed paths)") {
     def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
       val spark2 = spark
       import spark2.implicits._
-      ConnectedComponents.run(edges.toDF("src", "dst"))
+      val local = ConnectedComponents.run(edges.toDF("src", "dst"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = ConnectedComponents.run(edges.toDF("src", "dst"), localThreshold = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist, "local fast path must equal distributed path")
+      local
     }
     // two components: {1,2,3} chain and {10,11} edge
     assert(cc(Seq((1L, 2L), (2L, 3L), (10L, 11L))) ==
