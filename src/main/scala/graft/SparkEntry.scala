@@ -208,7 +208,53 @@ object SparkEntry {
         .where(col("rk") <= 3)
         .select(col("o_custkey"), col("o_orderkey"),
           col("o_totalprice").cast("decimal(18,2)").as("price"), col("rk"))
-    })
+    }),
+    // §2.5 adjacent-unit difference: lag window per user over event time
+    // (the scene-boundary detector shape, scene_detection.py:10-18)
+    "q_lag_diff" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      events(s, dir)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .where(col("prev_value").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          (col("value") - col("prev_value")).as("delta"))
+    }),
+    // rollup (grouping sets) over lineitem
+    "q_rollup" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))),
+    // ilike substring search (db/access/files.py:156-160 semantics)
+    "q_ilike_search" -> ((s, dir) =>
+      documents(s, dir)
+        .where(lower(col("text")).contains("table window"))
+        .select(col("doc_id"))),
+    // deterministic per-group argmax: top event per type by (value, id)
+    "q_argmax" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value").desc, col("event_id").desc)
+      events(s, dir).withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("event_type"), col("event_id"),
+          round(col("value"), 6).as("value"))
+    }),
+    // set ops: users that clicked EXCEPT users that purchased
+    "q_set_except" -> ((s, dir) => {
+      val e = events(s, dir)
+      val types = e.select("event_type").distinct().orderBy("event_type")
+        .collect().map(_.getString(0))
+      val (a, b) = (types.head, types.last)
+      e.where(col("event_type") === a).select("user_id")
+        .except(e.where(col("event_type") === b).select("user_id"))
+    }),
+    // exact percentile per group (A-style quantile; scene cut threshold
+    // analog scene_detection.py:143-144)
+    "q_percentile" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -325,6 +371,28 @@ object SparkEntry {
         "CAST(o_totalprice AS DECIMAL(18,2)) AS price, " +
         "CAST(row_number() OVER (PARTITION BY o_custkey " +
         "ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rk FROM orders) " +
-        "SELECT o_custkey, o_orderkey, price, rk FROM r WHERE rk <= 3")
+        "SELECT o_custkey, o_orderkey, price, rk FROM r WHERE rk <= 3"),
+    "q_lag_diff" ->
+      ("SELECT event_id, user_id, value - prev_value AS delta FROM (" +
+        "SELECT event_id, user_id, value, lag(value, 1) OVER (" +
+        "PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value " +
+        "FROM events) WHERE prev_value IS NOT NULL"),
+    "q_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem " +
+        "GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+    "q_ilike_search" ->
+      "SELECT doc_id FROM documents WHERE lower(text) LIKE '%table window%'",
+    "q_argmax" ->
+      ("SELECT event_type, event_id, round(value, 6) AS value FROM (" +
+        "SELECT event_type, event_id, value, row_number() OVER (" +
+        "PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rk " +
+        "FROM events) WHERE rk = 1"),
+    "q_set_except" ->
+      ("WITH t AS (SELECT min(event_type) AS a, max(event_type) AS b FROM events) " +
+        "SELECT DISTINCT user_id FROM events, t WHERE event_type = t.a " +
+        "AND user_id NOT IN (SELECT user_id FROM events, t WHERE event_type = t.b)"),
+    "q_percentile" ->
+      ("SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, " +
+        "round(quantile_cont(value, 0.9), 6) AS p90 FROM events GROUP BY 1")
   )
 }

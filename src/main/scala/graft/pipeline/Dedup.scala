@@ -61,8 +61,11 @@ object Dedup {
     */
   def shingleSets(docs: DataFrame, cfg: DedupConfig): DataFrame =
     docs
+      // filter on the cheap token-count predicate BEFORE hashing: a
+      // filter on the shingle array would make Catalyst evaluate the
+      // hashing kernel twice per row (once in Filter, once in Project)
+      .where(size(split(col("text"), " ")) >= cfg.shingleK)
       .select(col("id"), Expressions.shingleHashes(col("text"), cfg.shingleK).as("shingles"))
-      .where(size(col("shingles")) > 0)
 
   /** Stage 2 — MinHash signatures + SimHash fingerprint per doc.
     * Computed directly from the shingle array by the custom codegen'd

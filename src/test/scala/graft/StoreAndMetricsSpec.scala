@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Metrics
+import graft.store.MergeWriter
+
+/** MergeWriter upsert-idempotency tests (reference
+  * `tests/winnow/storage/test_db_result_storage.py:66-93`: write->check,
+  * update->check, no entity duplication) and metric-harness checks.
+  */
+class StoreAndMetricsSpec extends SparkSpecBase {
+
+  test("merge writer: insert, update, no duplication, idempotent rewrite") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge").toString
+    val w = new MergeWriter(spark, dir, Seq("url"))
+
+    w.upsert(Seq(("u1", 10), ("u2", 20)).toDF("url", "v"), batchId = 1)
+    assert(w.read().collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+      Set(("u1", 10), ("u2", 20)))
+
+    // update u2, insert u3 (merge: matched update, unmatched insert)
+    w.upsert(Seq(("u2", 21), ("u3", 30)).toDF("url", "v"), batchId = 2)
+    assert(w.read().collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+      Set(("u1", 10), ("u2", 21), ("u3", 30)))
+
+    // no entity duplication
+    assert(w.read().groupBy("url").count().where(col("count") > 1).count() == 0)
+
+    // idempotent re-write of the same batch id replaces itself
+    w.upsert(Seq(("u2", 21), ("u3", 30)).toDF("url", "v"), batchId = 2)
+    assert(w.read().count() == 3)
+  }
+
+  test("mAP: perfect ranking = 1.0; worst ranking < 1; no-truth queries excluded") {
+    val spark2 = spark
+    import spark2.implicits._
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("query_id", "neighbor_id")
+    val perfect = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 99L, 3),
+      (2L, 20L, 1), (2L, 98L, 2),
+      (3L, 97L, 1) // no truth for query 3 -> excluded from the mean
+    ).toDF("query_id", "neighbor_id", "rank")
+    assert(math.abs(Metrics.meanAveragePrecision(perfect, truth) - 1.0) < 1e-12)
+
+    val bad = Seq(
+      (1L, 99L, 1), (1L, 10L, 2), (1L, 11L, 3),
+      (2L, 98L, 1), (2L, 20L, 2)
+    ).toDF("query_id", "neighbor_id", "rank")
+    val m = Metrics.meanAveragePrecision(bad, truth)
+    // AP(q1) = (1/2 + 2/3)/2 = 0.5833..; AP(q2) = 0.5; mean = 0.5417
+    assert(math.abs(m - ((0.5 + 2.0 / 3) / 2 + 0.5) / 2) < 1e-9)
+  }
+
+  test("pair precision/recall") {
+    val spark2 = spark
+    import spark2.implicits._
+    val truth = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val pred = Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val (p, r) = Metrics.pairPrecisionRecall(pred, truth)
+    assert(p == 0.5 && r == 0.5)
+  }
+}
