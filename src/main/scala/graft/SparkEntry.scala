@@ -254,7 +254,21 @@ object SparkEntry {
     "q_percentile" -> ((s, dir) =>
       events(s, dir).groupBy("event_type")
         .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
-          round(expr("percentile(value, 0.9)"), 6).as("p90")))
+          round(expr("percentile(value, 0.9)"), 6).as("p90"))),
+    // J10: query-by-example template search (broadcast template side);
+    // templates = words 6..15 of docs 0..2
+    "q_template_search" -> ((s, dir) => {
+      val templates = documents(s, dir).where(col("doc_id") < 3)
+        .select(col("doc_id").as("template_id"),
+          array_join(slice(split(col("text"), " "), 6, 10), " ").as("text"))
+      graft.queries.TemplateSearch.search(templates, docs(s, dir))
+    }),
+    // JSON scalar extraction (exif JSON blob analog, db/schema.py:138)
+    "q_props_extract" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -393,6 +407,29 @@ object SparkEntry {
         "AND user_id NOT IN (SELECT user_id FROM events, t WHERE event_type = t.b)"),
     "q_percentile" ->
       ("SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, " +
-        "round(quantile_cont(value, 0.9), 6) AS p90 FROM events GROUP BY 1")
+        "round(quantile_cont(value, 0.9), 6) AS p90 FROM events GROUP BY 1"),
+    "q_template_search" ->
+      ("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s
+         |       FROM toks, LATERAL unnest(range(1, len(w)-1)) AS g(i)),
+         |tmpl AS (SELECT doc_id AS template_id,
+         |                array_to_string(w[6:15], ' ') AS t_text
+         |         FROM toks WHERE doc_id < 3),
+         |tt AS (SELECT template_id, t_text, string_split(t_text, ' ') AS tw FROM tmpl),
+         |tsh AS (SELECT DISTINCT template_id, tw[i]||' '||tw[i+1]||' '||tw[i+2] AS s
+         |        FROM tt, LATERAL unnest(range(1, len(tw)-1)) AS g(i)),
+         |tcard AS (SELECT template_id, count(*) AS c FROM tsh GROUP BY 1),
+         |hits AS (SELECT t.template_id, d.doc_id, count(*) AS i
+         |         FROM tsh t JOIN sh d ON t.s = d.s GROUP BY 1, 2)
+         |SELECT h.template_id, h.doc_id, h.i*1.0/tc.c AS coverage,
+         |       strpos(doc.text, tm.t_text) > 0 AS contained
+         |FROM hits h
+         |JOIN tcard tc ON tc.template_id = h.template_id
+         |JOIN documents doc ON doc.doc_id = h.doc_id
+         |JOIN tmpl tm ON tm.template_id = h.template_id
+         |WHERE h.i*1.0/tc.c >= 0.5""".stripMargin),
+    "q_props_extract" ->
+      ("SELECT CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k, " +
+        "count(*) AS n FROM events GROUP BY 1")
   )
 }

@@ -219,6 +219,15 @@ object Dedup {
       .where(col("hamming") <= hammingMax)
   }
 
+  /** F8 signature-validity filter: drop degenerate signatures whose
+    * first three components are identical (reference
+    * `ray_extract_features.py:578-582`); with MinHash this means the
+    * shingle set was empty/near-empty.
+    */
+  def validSignatures(sigs: DataFrame): DataFrame =
+    sigs.where(!(element_at(col("sig"), 1) === element_at(col("sig"), 2) &&
+      element_at(col("sig"), 2) === element_at(col("sig"), 3)))
+
   /** Adapter: pages(url, warc_ts, html, text, lang) -> docs(id, text). */
   def fromPages(pages: DataFrame): DataFrame =
     pages.select(col("url").as("id"), col("text"))
