@@ -23,7 +23,8 @@ object TextFunctions {
   // ---------------------------------------------------------------------
   def extractText(html: Column): Column = {
     val s0 = decode(html, "UTF-8")
-    val noScript = regexp_replace(s0, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noComment = regexp_replace(s0, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment, "(?is)<script\\b[^>]*>.*?</script>", " ")
     val noStyle  = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
     val noTags   = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
     val ent = Seq(

@@ -123,6 +123,39 @@ object Dedup {
     pairs.select("id_a", "id_b").distinct()
   }
 
+  /** Skew-aware candidate pairs (north rule: "explicit salted
+    * repartitioning for skewed hot bands"): bands are split by measured
+    * frequency — cold keys take the plain self-join; hot keys (freq >
+    * hotCap, e.g. boilerplate-dominated buckets) are salted so no join
+    * task materializes a full f^2 bucket. Replication cost is paid ONLY
+    * on hot rows (vs candidatePairs(saltBuckets) which salts everything).
+    * The hot-key set is tiny by construction (skew = few heavy keys) and
+    * is broadcast. Pair-set equality with the plain join is tested on
+    * the skew fixture.
+    */
+  def candidatePairsSkewAware(bands: DataFrame, hotCap: Int = 1024,
+                              saltBuckets: Int = 16): DataFrame = {
+    val hotKeys = bands.groupBy("band_key").count()
+      .where(col("count") > hotCap).select("band_key")
+    val hot = bands.join(broadcast(hotKeys), Seq("band_key"), "left_semi")
+    val cold = bands.join(broadcast(hotKeys), Seq("band_key"), "left_anti")
+    val coldPairs = {
+      val l = cold.select(col("band_key"), col("id").as("id_a"))
+      val r = cold.select(col("band_key"), col("id").as("id_b"))
+      l.join(r, "band_key").where(col("id_a") < col("id_b"))
+    }
+    val hotPairs = {
+      val l = hot.select(col("band_key"),
+        pmod(xxhash64(col("id")), lit(saltBuckets)).as("salt"), col("id").as("id_a"))
+      val r = hot.select(col("band_key"), col("id").as("id_b"),
+        explode(sequence(lit(0), lit(saltBuckets - 1))).as("salt"))
+      l.join(r, Seq("band_key", "salt")).where(col("id_a") < col("id_b"))
+    }
+    coldPairs.select("id_a", "id_b")
+      .union(hotPairs.select("id_a", "id_b"))
+      .distinct()
+  }
+
   /** Stage 5 — exact verification: join candidate pairs back to the
     * shingle sets and compute exact Jaccard; keep pairs with
     * jaccard >= threshold. The reference thresholds estimated distance

@@ -63,6 +63,16 @@ class CorpusAndPipelineSpec extends SparkSpecBase {
     val salted = Dedup.pairs(docs, cfg, saltBuckets = 8)
       .select("id_a", "id_b").collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(plain == salted)
+    // skew-aware selective salting: same pair set, replication only on
+    // measured hot bands (cap forced low so the shared boilerplate
+    // actually trips it on this fixture)
+    val shingled = Dedup.shingleSets(docs, cfg)
+    val bands = Dedup.bandTable(Dedup.signatures(shingled, cfg), cfg)
+    val skewAware = Dedup.verifiedPairs(
+      Dedup.candidatePairsSkewAware(bands, hotCap = 8, saltBuckets = 4),
+      shingled, cfg)
+      .select("id_a", "id_b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(plain == skewAware)
   }
 
   test("containment pass flags truncation variants against their originals") {

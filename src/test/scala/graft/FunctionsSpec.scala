@@ -101,7 +101,28 @@ class FunctionsSpec extends SparkSpecBase {
       ("  lots   of\n\twhitespace  ", "lots of whitespace"),
       ("<SCRIPT src='x'>ignore()</script>MIXED<Style>s</STYLE>case", "MIXED case"),
       ("", ""),
-      ("no markup at all", "no markup at all"))
+      ("no markup at all", "no markup at all"),
+      // comments, incl. '>' inside the comment body
+      ("a<!-- hidden -->b", "a b"),
+      ("a<!-- if x > y then --> b <!-- multi\nline -->c", "a b c"),
+      // nested/deep tags
+      ("<div><ul><li>one</li><li>two</li></ul></div>", "one two"),
+      // unicode text and attributes
+      ("<p lang=\"zh\">中文 文本</p>", "中文 文本"),
+      ("<p>café naïve ü</p>", "café naïve ü"),
+      // attributes with angle-ish content and self-closing tags
+      ("<img src=\"x.png\" alt=\"pic\"/>after", "after"),
+      ("<a href=\"/a?b=1&amp;c=2\">link</a>", "link"),
+      // doctype + head noise
+      ("<!DOCTYPE html><head><meta charset=\"utf-8\"></head>body text", "body text"),
+      // script containing a fake closing tag inside a string stays clipped
+      // at the first real close
+      ("<script>var s = 'x';</script>kept", "kept"),
+      // entity-only and whitespace-only bodies
+      ("&nbsp;&nbsp;", ""),
+      ("<p>   </p>", ""),
+      // numeric entity for apostrophe inside a word
+      ("it&#39;s fine", "it's fine"))
     val df = cases.map(_._1.getBytes("UTF-8")).toDF("html")
     val got = df.select(TextFunctions.extractText(col("html"))).as[String].collect()
     got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g == w) }
