@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.pipeline.{Dedup, DedupConfig}
+import graft.streaming.IncrementalIngest
+
+/** Degenerate-input hardening + streaming-window semantics. */
+class EdgeCaseSpec extends SparkSpecBase {
+  private val cfg = DedupConfig()
+
+  test("empty corpus: pipeline yields empty pairs and clusters, no errors") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Dedup.pairs(docs, cfg).count() == 0)
+    assert(Dedup.clusters(Dedup.pairs(docs, cfg)).count() == 0)
+    assert(Dedup.exactJaccardPairs(docs, cfg).count() == 0)
+  }
+
+  test("single doc and too-short docs: no self-pairs, short docs dropped") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "one two three four five"), (2L, "ab"), (3L, "x y"))
+      .toDF("id", "text")
+    assert(Dedup.pairs(docs, cfg).count() == 0)
+    // only the >=k-token doc shingles
+    assert(Dedup.shingleSets(docs, cfg).count() == 1)
+  }
+
+  test("all-identical corpus: one hot band bucket, complete clique, one cluster") {
+    val spark2 = spark
+    import spark2.implicits._
+    val n = 120
+    val docs = (1 to n).map(i =>
+      (i.toLong, "the same exact text repeated in every single document here"))
+      .toDF("id", "text")
+    val pairs = Dedup.pairs(docs, cfg)
+    assert(pairs.count() == n.toLong * (n - 1) / 2) // complete clique
+    assert(pairs.agg(min("jaccard")).head.getDouble(0) == 1.0)
+    val clusters = Dedup.clusters(pairs)
+    assert(clusters.select("cluster_id").distinct().count() == 1)
+    assert(clusters.count() == n)
+    // skew-aware path agrees under a tiny hot cap (the whole corpus is
+    // one hot bucket per band)
+    val shingled = Dedup.shingleSets(docs, cfg)
+    val bands = Dedup.bandTable(Dedup.signatures(shingled, cfg), cfg)
+    val skew = Dedup.verifiedPairs(
+      Dedup.candidatePairsSkewAware(bands, hotCap = 10, saltBuckets = 4),
+      shingled, cfg)
+    assert(skew.count() == pairs.count())
+  }
+
+  test("streaming tumbling-window agg equals the batch windowedCounts") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      ("2024-01-01 00:10:00", "click", 1.0),
+      ("2024-01-01 00:40:00", "click", 2.0),
+      ("2024-01-01 01:05:00", "click", 4.0),
+      ("2024-01-01 00:20:00", "buy", 8.0),
+      ("2024-01-01 02:59:00", "buy", 16.0))
+    def asEvents(df: org.apache.spark.sql.DataFrame) =
+      df.select(to_timestamp(col("_1")).as("ts"), col("_2").as("event_type"),
+        col("_3").as("value"))
+    val mem = MemoryStream[(String, String, Double)]
+    mem.addData(rows)
+    val q = IncrementalIngest.windowedCounts(asEvents(mem.toDF()), "ts", "1 hour")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete") // all windows regardless of watermark
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("win_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = IncrementalIngest.windowedCounts(
+      asEvents(rows.toDF()), "ts", "1 hour")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed == batch)
+  }
+}
