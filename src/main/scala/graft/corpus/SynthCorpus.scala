@@ -21,13 +21,24 @@ object SynthCorpus {
   final case class Label(url: String, original_url: String,
                          mutation: String, edit_rate: Double)
 
-  private val vocab: Array[String] =
+  private val naturalWords: Array[String] =
     ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor " +
       "incididunt ut labore et dolore magna aliqua enim ad minim veniam quis nostrud " +
       "exercitation ullamco laboris nisi aliquip ex ea commodo consequat duis aute " +
       "irure reprehenderit voluptate velit esse cillum fugiat nulla pariatur excepteur " +
       "sint occaecat cupidatat non proident sunt culpa qui officia deserunt mollit anim " +
       "id est laborum data page web crawl index token corpus").split(" ")
+
+  /** Realistic vocabulary size: with a tiny vocabulary every doc pair
+    * shares k-grams and candidate noise grows quadratically with corpus
+    * size — unlike real web text, where random cross-doc jaccard ~ 0.
+    * Default 4096: a Zipf-ish head (the natural words, drawn 30% of the
+    * time in baseText) plus a long synthetic tail.
+    */
+  val DefaultVocabSize = 4096
+  private val vocab: Array[String] =
+    naturalWords ++ (naturalWords.length until DefaultVocabSize)
+      .map(i => s"w$i")
 
   private val langs = Array("en", "de", "fr", "es", "zh")
 
@@ -46,7 +57,10 @@ object SynthCorpus {
   }
 
   private def baseText(rng: Rng, nWords: Int): String =
-    (0 until nWords).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" ")
+    (0 until nWords).map { _ =>
+      if (rng.nextDouble() < 0.3) naturalWords(rng.nextInt(naturalWords.length))
+      else vocab(rng.nextInt(vocab.length))
+    }.mkString(" ")
 
   /** Mutations with approximate edit rates (text analogs per FIXTURES.md). */
   private def mutate(rng: Rng, text: String, mutation: String): String = {
