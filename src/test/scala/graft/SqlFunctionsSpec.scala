@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Expressions, GraftFunctions}
+import graft.pipeline.{Dedup, DedupConfig}
+
+/** SQL-registered custom functions: spark.sql results must bit-equal the
+  * Dataset-API expressions, and the full pair query must be expressible
+  * in pure SQL.
+  */
+class SqlFunctionsSpec extends SparkSpecBase {
+
+  test("SQL functions equal the Dataset-API expressions bit-for-bit") {
+    GraftFunctions.registerAll(spark)
+    val docs = Dedup.fromDocuments(
+      spark.read.parquet(s"$sfDir/documents.parquet")).limit(50)
+    docs.createOrReplaceTempView("d")
+    val viaSql = spark.sql(
+      """SELECT id, minhash_sig(shingle_hashes(text, 3), 128) AS sig,
+        |       simhash64(shingle_hashes(text, 3)) AS sh
+        |FROM d""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSet
+    val viaApi = docs.select(col("id"),
+      Expressions.minhashSig(Expressions.shingleHashes(col("text"), 3), 128).as("sig"),
+      Expressions.simhash64(Expressions.shingleHashes(col("text"), 3)).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSet
+    assert(viaSql == viaApi)
+  }
+
+  test("full LSH pair query expressible in pure SQL matches Dedup.pairs") {
+    GraftFunctions.registerAll(spark)
+    val cfg = DedupConfig()
+    val docs = Dedup.fromDocuments(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    docs.createOrReplaceTempView("docs")
+    val sqlPairs = spark.sql(
+      s"""WITH sh AS (
+         |  SELECT id, shingle_hashes(text, ${cfg.shingleK}) AS shingles
+         |  FROM docs WHERE size(split(text, ' ')) >= ${cfg.shingleK}),
+         |sig AS (SELECT id, shingles,
+         |               minhash_sig(shingles, ${cfg.numHashes}) AS sig FROM sh),
+         |bands AS (SELECT id, explode(band_keys(sig, ${cfg.bands},
+         |                 ${cfg.rowsPerBand})) AS bk FROM sig),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM bands a JOIN bands b ON a.bk = b.bk AND a.id < b.id)
+         |SELECT c.id_a, c.id_b,
+         |       jaccard_sets(x.shingles, y.shingles) AS jaccard
+         |FROM cand c JOIN sh x ON x.id = c.id_a JOIN sh y ON y.id = c.id_b
+         |WHERE jaccard_sets(x.shingles, y.shingles) >= ${cfg.threshold}
+         |""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val apiPairs = Dedup.pairs(docs, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sqlPairs == apiPairs)
+  }
+}
