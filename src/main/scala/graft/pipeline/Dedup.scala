@@ -252,6 +252,26 @@ object Dedup {
       .where(col("hamming") <= hammingMax)
   }
 
+  /** Incremental matching: candidate pairs between a NEW batch and the
+    * FULL accumulated corpus — new x all, never all x all (the fork's
+    * periodic match regeneration, `ray_extract_features.py:241-367`, at
+    * per-batch cadence). Pairs are canonicalized (least/greatest) and
+    * verified exactly against the full shingle table.
+    */
+  def incrementalPairs(newSigs: DataFrame, allSigs: DataFrame,
+                       cfg: DedupConfig): DataFrame = {
+    val newBands = bandTable(newSigs, cfg)
+      .select(col("band_key"), col("id").as("id_x"))
+    val allBands = bandTable(allSigs, cfg)
+      .select(col("band_key"), col("id").as("id_y"))
+    val cands = newBands.join(allBands, "band_key")
+      .where(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    verifiedPairs(cands, allSigs.select(col("id"), col("shingles")), cfg)
+  }
+
   /** F8 signature-validity filter: drop degenerate signatures whose
     * first three components are identical (reference
     * `ray_extract_features.py:578-582`); with MinHash this means the

@@ -55,18 +55,8 @@ object IncrementalIngest {
 
           // (2) incremental matching: new-batch bands vs full band table
           val all = spark.read.parquet(sigDir)
-          val newBands = Dedup.bandTable(
-            spark.read.parquet(sigDir).join(
-              newSigs.select("id"), Seq("id"), "left_semi"), cfg)
-          val allBands = Dedup.bandTable(all, cfg)
-          val cands = newBands.select(col("band_key"), col("id").as("id_x"))
-            .join(allBands.select(col("band_key"), col("id").as("id_y")), "band_key")
-            .where(col("id_x") =!= col("id_y"))
-            .select(least(col("id_x"), col("id_y")).as("id_a"),
-              greatest(col("id_x"), col("id_y")).as("id_b"))
-            .distinct()
-          val shingled = all.select(col("id"), col("shingles"))
-          val newPairs = Dedup.verifiedPairs(cands, shingled, cfg)
+          val newInStore = all.join(newSigs.select("id"), Seq("id"), "left_semi")
+          val newPairs = Dedup.incrementalPairs(newInStore, all, cfg)
           // dedup vs pairs already recorded (MERGE "when not matched")
           val existingPairs: Option[DataFrame] =
             try Some(spark.read.parquet(pairDir)) catch { case _: Throwable => None }

@@ -51,6 +51,25 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(skew.count() == pairs.count())
   }
 
+  test("incremental new-vs-all matching finds exactly the pairs touching the new batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = graft.pipeline.Dedup.fromDocuments(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    val allSigs = Dedup.signatures(Dedup.shingleSets(docs, cfg), cfg)
+      .localCheckpoint(true)
+    val fullPairs = Dedup.verifiedPairs(
+      Dedup.candidatePairs(Dedup.bandTable(allSigs, cfg)),
+      allSigs.select(col("id"), col("shingles")), cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // "new batch" = docs with even ids
+    val newSigs = allSigs.where(col("id") % 2 === 0)
+    val inc = Dedup.incrementalPairs(newSigs, allSigs, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = fullPairs.filter { case (a, b) => a % 2 == 0 || b % 2 == 0 }
+    assert(inc == want)
+  }
+
   test("streaming tumbling-window agg equals the batch windowedCounts") {
     val spark2 = spark
     import spark2.implicits._
