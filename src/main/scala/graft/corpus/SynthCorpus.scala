@@ -109,9 +109,21 @@ object SynthCorpus {
     * is a pure function of (seed, i), so generation is deterministic
     * under ANY partitioning (SURVEY.md §7.4(4)).
     */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   private def genOne(seed: Long, i: Long, dupRate: Double,
                      skewBoilerplate: Boolean): (Seq[Page], Seq[Label]) = {
-    val rng = new Rng(seed ^ (i * 0x9e3779b97f4a7c15L))
+    // per-doc state must be a MIXED function of (seed, i): a plain
+    // `seed ^ (i*golden)` makes SplitMix streams of nearby indices mere
+    // shifts of each other (the generator state advances by the same
+    // golden increment), which manufactured accidental near-duplicate
+    // originals. Double mixing makes stream overlap a ~2^-64 event.
+    val rng = new Rng(mix(seed ^ mix(i + 1)))
     val boilerRng = new Rng(seed) // shared across docs: hot-shingle fixture
     val sharedBoiler = baseText(boilerRng, 12)
     val t0 = 1700000000000L

@@ -35,6 +35,13 @@ class CorpusAndPipelineSpec extends SparkSpecBase {
     assert(labels.collect().toSet == l2.collect().toSet)
   }
 
+  test("originals never collide: no cross-original pairs at threshold (RNG stream independence)") {
+    val origs = Dedup.fromPages(pages.where(!col("url").contains("/v")))
+    val accidental = Dedup.pairs(origs, cfg).count()
+    assert(accidental == 0,
+      s"$accidental accidental near-dup pairs between independent originals")
+  }
+
   test("pipeline recall >= 0.99 on planted near-dup pairs above threshold") {
     val docs = Dedup.fromPages(pages)
     val got = Dedup.pairs(docs, cfg).select("id_a", "id_b")
