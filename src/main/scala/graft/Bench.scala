@@ -24,9 +24,9 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet"))
     val nDocs = docs.count()
     // warmup (codegen + JIT) on a slice, then timed run
-    Dedup.pairs(docs.limit(500), DedupConfig()).count()
+    Dedup.pairsMaterialized(docs.limit(500), DedupConfig()).count()
     val tPipe0 = System.nanoTime()
-    Dedup.clusters(Dedup.pairs(docs, DedupConfig())).count()
+    Dedup.clusters(Dedup.pairsMaterialized(docs, DedupConfig())).count()
     val pipeSec = (System.nanoTime() - tPipe0) / 1e9
     val docsPerSec = nDocs / pipeSec
 

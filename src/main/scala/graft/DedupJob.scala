@@ -21,6 +21,9 @@ object DedupJob {
     require(args.length >= 2, "usage: DedupJob <pagesPath> <workDir> [buckets] [saltBuckets]")
     val Array(pagesPath, workDir) = args.take(2)
     val buckets = args.lift(2).map(_.toInt).getOrElse(64)
+    // hot-band salt fan-out for the skew-aware candidate join (the
+    // production default; 1 disables salting but keeps the hot/cold split)
+    val saltBuckets = args.lift(3).map(_.toInt).getOrElse(16)
     val cfg = DedupConfig()
 
     val builder = SparkSession.builder()
@@ -42,7 +45,8 @@ object DedupJob {
       else pages.select(col("url").as("id"),
         graft.functions.TextFunctions.extractText(col("html")).as("text"))
 
-    val clusters = ResumableDedupJob.run(docs, cfg, workDir, buckets)
+    val clusters =
+      ResumableDedupJob.run(docs, cfg, workDir, buckets, saltBuckets = saltBuckets)
     val nClusters = clusters.select("cluster_id").distinct().count()
     val nMembers = clusters.count()
     val nDocs = docs.count()

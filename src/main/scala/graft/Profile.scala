@@ -61,7 +61,7 @@ object Profile {
     time("exact_dedup")(Dedup.exactDuplicates(docs).count())
     time("exact_dedup-again")(Dedup.exactDuplicates(docs).count())
     time("exact_pairs")(Dedup.exactJaccardPairs(docs, cfg).count())
-    time("full pairs (fresh)")(Dedup.pairs(docs, cfg).count())
+    time("full pairs (fresh)")(Dedup.pairsMaterialized(docs, cfg).count())
     spark.stop()
   }
 }

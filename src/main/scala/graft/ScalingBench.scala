@@ -56,10 +56,10 @@ object ScalingBench {
       try {
         val docs = Dedup.fromPages(s.read.parquet(corpusDir))
         val nDocs = docs.count()
-        Dedup.clusters(Dedup.pairs(docs.limit(2000), cfg)).count() // warmup
+        Dedup.clusters(Dedup.pairsMaterialized(docs.limit(2000), cfg)).count() // warmup
         val ts = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          Dedup.clusters(Dedup.pairs(docs, cfg)).count()
+          Dedup.clusters(Dedup.pairsMaterialized(docs, cfg)).count()
           (System.nanoTime() - t0) / 1e9
         }
         (ts.min, ts, probe(s, n), nDocs)

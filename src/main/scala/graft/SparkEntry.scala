@@ -40,7 +40,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
   private def pairsFor(s: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate((System.identityHashCode(s), dir),
-      Dedup.pairs(docs(s, dir), cfg).localCheckpoint(true))
+      Dedup.pairsMaterialized(docs(s, dir), cfg))
 
   /** pairs as a similarity edge table for the serving queries. */
   private def edges(s: SparkSession, dir: String): DataFrame =
@@ -50,7 +50,7 @@ object SparkEntry {
     * cluster assignments. Driver smoke-checks rows>0.
     */
   def entry(spark: SparkSession): DataFrame =
-    Dedup.clusters(Dedup.pairs(docs(spark, "/root/testdata/sf0.001"), cfg))
+    Dedup.clusters(Dedup.pairsMaterialized(docs(spark, "/root/testdata/sf0.001"), cfg))
 
   // ---------------------------------------------------------------------
   // Shared oracle SQL fragments (DuckDB dialect). The pair CTE mirrors
@@ -191,12 +191,15 @@ object SparkEntry {
         .groupBy("event_type").agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"))),
     // --- relational anchors (generic operator correctness) --------------
+    // sums emitted as round(.,2) doubles on BOTH sides: engines widen
+    // decimal sums differently (Spark dec(28,2) vs DuckDB HUGEINT-backed
+    // dec(38,2)) and the representation reaches the driver's hash
     "q1_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"))),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))),
     "q_join_agg" -> ((s, dir) => {
       val o = s.read.parquet(s"$dir/orders.parquet")
       val c = s.read.parquet(s"$dir/customer.parquet")
@@ -219,7 +222,9 @@ object SparkEntry {
       o.withColumn("rk", row_number().over(w))
         .where(col("rk") <= 3)
         .select(col("o_custkey"), col("o_orderkey"),
-          col("o_totalprice").cast("decimal(18,2)").as("price"), col("rk"))
+          // raw double passthrough: bit-identical in both engines (a
+          // decimal(18,2) cast hash-mismatched on representation)
+          col("o_totalprice").as("price"), col("rk"))
     }),
     // §2.5 adjacent-unit difference: lag window per user over event time
     // (the scene-boundary detector shape, scene_detection.py:10-18)
@@ -275,6 +280,19 @@ object SparkEntry {
           array_join(slice(split(col("text"), " "), 6, 10), " ").as("text"))
       graft.queries.TemplateSearch.search(templates, docs(s, dir))
     }),
+    // typed HTML metadata extraction (EXIF-columns analog,
+    // db/schema.py:105-138) over the seeded synthetic corpus — page
+    // content is a pure function of the seed (dir-independent), result
+    // pinned by fixture oracle; semantics golden-tested in FunctionsSpec
+    "q_html_meta" -> ((s, dir) => {
+      val (pages, _) = graft.corpus.SynthCorpus.generate(
+        s, seed = 20260816L, nBase = 200, dupRate = 0.2)
+      graft.functions.PageMetadata.extract(pages)
+    }),
+    // A9 scene-boundary segmentation: lag distance -> per-item 90th-pct
+    // threshold -> cuts -> per-segment stats (scene_detection.py:114-173)
+    "q_scene_segments" -> ((s, dir) =>
+      graft.queries.Segmentation.segmentStats(events(s, dir))),
     // JSON scalar extraction (exif JSON blob analog, db/schema.py:138)
     "q_props_extract" -> ((s, dir) =>
       events(s, dir)
@@ -284,12 +302,22 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (xxhash64/SRP-based): q_simhash_pairs, q_doc_fingerprints, q_ann_srp
-    * -> driver records rows-only checks; their semantics are covered by
-    * ScalaTest oracles instead.
+    * the same parquet tables. The three kernels DuckDB cannot express
+    * (xxhash64-based SimHash/fingerprints, SRP sign-bit LSH) are pinned
+    * by committed expected-result fixtures instead: deterministic seeded
+    * inputs -> deterministic results -> the oracle reads the fixture
+    * parquet back (regenerate with `runMain graft.MakeFixtures`;
+    * FixtureSpec + the ScalaTest semantic oracles guard drift).
     */
   def oracleSql: Map[String, String] = Map(
+    "q_simhash_pairs" ->
+      "SELECT doc_id_a, doc_id_b, hamming FROM '/root/repo/fixtures/q_simhash_pairs.parquet'",
+    "q_doc_fingerprints" ->
+      "SELECT doc_id, fp64 FROM '/root/repo/fixtures/q_doc_fingerprints.parquet'",
+    "q_ann_srp" ->
+      "SELECT query_id, neighbor_id, cosine, rank FROM '/root/repo/fixtures/q_ann_srp.parquet'",
+    "q_html_meta" ->
+      "SELECT * FROM '/root/repo/fixtures/q_html_meta.parquet'",
     "q_minhash_lsh_pairs" ->
       s"WITH $pairsCte SELECT doc_id_a, doc_id_b, jaccard FROM pairs",
     "q_ngram_jaccard_pairs" ->
@@ -382,8 +410,8 @@ object SparkEntry {
         "AND ts < TIMESTAMP '2024-01-17 00:00:00' GROUP BY 1"),
     "q1_agg" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
-        "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, " +
-        "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price " +
+        "round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_price " +
         "FROM lineitem GROUP BY 1, 2"),
     "q_join_agg" ->
       ("SELECT c_mktsegment, count(*) AS n_orders, " +
@@ -394,7 +422,7 @@ object SparkEntry {
         "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"),
     "q_window_topk" ->
       ("WITH r AS (SELECT o_custkey, o_orderkey, " +
-        "CAST(o_totalprice AS DECIMAL(18,2)) AS price, " +
+        "o_totalprice AS price, " +
         "CAST(row_number() OVER (PARTITION BY o_custkey " +
         "ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rk FROM orders) " +
         "SELECT o_custkey, o_orderkey, price, rk FROM r WHERE rk <= 3"),
@@ -442,6 +470,22 @@ object SparkEntry {
          |WHERE h.i*1.0/tc.c >= 0.5""".stripMargin),
     "q_props_extract" ->
       ("SELECT CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k, " +
-        "count(*) AS n FROM events GROUP BY 1")
+        "count(*) AS n FROM events GROUP BY 1"),
+    "q_scene_segments" ->
+      ("""WITH d AS (SELECT user_id, event_id, ts, value,
+         |  abs(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS delta
+         |  FROM events),
+         |thr AS (SELECT user_id, quantile_cont(delta, 0.9) AS thr
+         |        FROM d WHERE delta IS NOT NULL GROUP BY 1),
+         |c AS (SELECT d.user_id, event_id, ts, value, delta,
+         |  CASE WHEN delta IS NOT NULL AND round(delta, 6) > round(thr, 6)
+         |       THEN 1 ELSE 0 END AS cut
+         |  FROM d LEFT JOIN thr ON d.user_id = thr.user_id),
+         |s AS (SELECT *, sum(cut) OVER (PARTITION BY user_id
+         |  ORDER BY ts ASC, event_id ASC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id FROM c)
+         |SELECT user_id, CAST(seg_id AS BIGINT) AS seg_id, count(*) AS n_events,
+         |  round(avg(value), 6) AS avg_value, min(ts) AS ts_min, max(ts) AS ts_max
+         |FROM s GROUP BY 1, 2""".stripMargin)
   )
 }

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.corpus.SynthCorpus
+import graft.pipeline.{Dedup, DedupConfig}
+import graft.queries.Metrics
+
+/** Config-sweep evaluation harness — the reference's benchmark protocol
+  * (`benchmarks/evaluate.py:84-113`: a (frame_sampling x match_distance)
+  * grid, each cell scored against the labeled augmented dataset, results
+  * landed as a scoreboard json). Here the grid is
+  * (shingleK x threshold), the labeled corpus is the deterministic
+  * SynthCorpus (labels = (variant, original) ground-truth pairs), and
+  * each cell reports pair precision / recall / F1 at the cell's
+  * threshold plus mAP of the jaccard-ranked neighbor lists.
+  *
+  * Run: sbt "runMain graft.SweepJob [nBase]" -> writes SCOREBOARD.json.
+  */
+object SweepJob {
+
+  final case class Cell(shingleK: Int, threshold: Double, precision: Double,
+                        recall: Double, f1: Double, mAP: Double,
+                        nPairs: Long, wallSec: Double)
+
+  /** Ground-truth pair set at the contract threshold: labeled
+    * (variant, original) pairs whose word-3-gram jaccard >= tau
+    * (labels carry edit_rate = 1 - jaccard, `SynthCorpus.genOne`),
+    * PLUS sibling variant pairs of the same original that also clear
+    * tau (computed from the page texts — without them every config
+    * would be precision-penalized for correctly finding v1~v2).
+    */
+  def truthPairs(pages: DataFrame, labels: DataFrame, tau: Double): DataFrame = {
+    val direct = labels.where(col("edit_rate") <= 1.0 - tau)
+      .select(least(col("url"), col("original_url")).as("id_a"),
+        greatest(col("url"), col("original_url")).as("id_b"))
+    val sibs = labels.as("x").join(labels.as("y"),
+        col("x.original_url") === col("y.original_url") &&
+          col("x.url") < col("y.url"))
+      .select(col("x.url").as("id_a"), col("y.url").as("id_b"))
+    val texts = pages.select(col("url"), col("text"))
+    import graft.functions.Expressions
+    val sibPairs = sibs
+      .join(texts.select(col("url").as("id_a"), col("text").as("ta")), "id_a")
+      .join(texts.select(col("url").as("id_b"), col("text").as("tb")), "id_b")
+      .withColumn("j", Expressions.jaccardSets(
+        Expressions.shingleHashes(col("ta"), 3),
+        Expressions.shingleHashes(col("tb"), 3)))
+      .where(col("j") >= tau)
+      .select("id_a", "id_b")
+    direct.union(sibPairs).distinct()
+  }
+
+  /** Score one config cell against the truth set. */
+  def score(docs: DataFrame, truth: DataFrame, cfg: DedupConfig): Cell = {
+    val t0 = System.nanoTime()
+    val pairs = Dedup.pairsMaterialized(docs, cfg)
+    val nPairs = pairs.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val (p, r) = Metrics.pairPrecisionRecall(pairs, truth)
+    val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+    // mAP of the jaccard-ranked neighbor lists (evaluate.py:84-113
+    // protocol): both directions, rank by similarity desc
+    import org.apache.spark.sql.expressions.Window
+    val both = pairs.select(col("id_a").as("query_id"),
+        col("id_b").as("neighbor_id"), col("jaccard"))
+      .union(pairs.select(col("id_b"), col("id_a"), col("jaccard")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("jaccard").desc, col("neighbor_id").asc)
+    val ranked = both.withColumn("rank", row_number().over(w))
+      .select("query_id", "neighbor_id", "rank")
+    val truthBoth = truth.select(col("id_a").as("query_id"),
+        col("id_b").as("neighbor_id"))
+      .union(truth.select(col("id_b"), col("id_a")))
+    val map = Metrics.meanAveragePrecision(ranked, truthBoth)
+    Cell(cfg.shingleK, cfg.threshold, p, r, f1, map, nPairs, wall)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nBase = args.headOption.map(_.toInt).getOrElse(2000)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val (pages, labels) = SynthCorpus.generate(spark, seed = 99L,
+      nBase = nBase, dupRate = 0.25)
+    val docs = Dedup.fromPages(pages).localCheckpoint(true)
+    val lab = labels.localCheckpoint(true)
+    val defaultCfg = DedupConfig()
+    val truth = truthPairs(pages, lab, defaultCfg.threshold).localCheckpoint(true)
+
+    val grid = for {
+      k <- Seq(2, 3, 4)
+      tau <- Seq(0.3, 0.5, 0.7)
+    } yield DedupConfig(shingleK = k, threshold = tau)
+    val cells = grid.map(c => score(docs, truth, c))
+
+    val json = cells.map { c =>
+      s"""{"shingleK":${c.shingleK},"threshold":${c.threshold},""" +
+        s""""precision":${c.precision},"recall":${c.recall},"f1":${c.f1},""" +
+        s""""mAP":${c.mAP},"n_pairs":${c.nPairs},"wall_sec":${c.wallSec}}"""
+    }.mkString("[\n  ", ",\n  ", "\n]")
+    val best = cells.maxBy(_.f1)
+    val out = s"""{"metric":"config_sweep","n_base":$nBase,""" +
+      s""""truth_pairs":${truth.count()},""" +
+      s""""best":{"shingleK":${best.shingleK},"threshold":${best.threshold},"f1":${best.f1}},""" +
+      s""""cells":$json}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("SCOREBOARD.json"), out)
+    println(out)
+    spark.stop()
+  }
+}

@@ -131,6 +131,26 @@ object TextFunctions {
     */
   def fingerprint64(text: Column): Column = xxhash64(normalizeText(text))
 
+  // ---------------------------------------------------------------------
+  // C-path: path/url scalars (reference `repr_utils.py:11-32` —
+  // get_path_resolver/basename over storage paths; here over urls).
+  // ---------------------------------------------------------------------
+
+  /** Last path segment (reference basename semantics; trailing slashes
+    * ignored; the whole input when it has no '/').
+    */
+  def basename(path: Column): Column =
+    regexp_extract(path, "([^/]+)/*$", 1)
+
+  /** Path relative to `base` (reference relative-path resolver): strips
+    * the base prefix plus any leading slashes; inputs outside `base`
+    * pass through unchanged.
+    */
+  def relativize(path: Column, base: Column): Column =
+    when(path.startsWith(base),
+      regexp_replace(path.substr(length(base) + 1, length(path)), "^/+", ""))
+      .otherwise(path)
+
   /** Rolling-hash winnowing fingerprints: hashes of char w-grams sampled
     * where hash % p == 0 (content-defined sampling — robust to shifts).
     */

@@ -84,7 +84,13 @@ object ResumableDedupJob {
       val sigs = Dedup.signatures(Dedup.shingleSets(
           withBucket.select(col("id"), col("text"), col("bucket")), cfg), cfg)
         .join(withBucket.select(col("id"), col("bucket")), "id")
-      sigs.write.mode(SaveMode.Append).partitionBy("bucket").parquet(sigDir)
+      // dynamic partition overwrite: a crash after a bucket's files
+      // committed but before store.record would otherwise leave rows
+      // that a resume re-appends (duplicate signatures); overwrite of
+      // exactly the recomputed buckets makes the retry idempotent
+      sigs.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(sigDir)
       val counts = spark.read.parquet(sigDir)
         .where(col("bucket").isin(missing: _*))
         .groupBy("bucket").count()
@@ -98,16 +104,28 @@ object ResumableDedupJob {
     docs.sparkSession.read.parquet(sigDir)
   }
 
+  /** Pairs stage from a signatures table: validity filter -> skew-aware
+    * banded candidate join (hot bands measured and salted — the north
+    * rule's "explicit salted repartitioning for skewed hot bands" IS the
+    * production default, not an opt-in) -> exact verify.
+    */
+  def pairsStage(sigs: DataFrame, cfg: DedupConfig,
+                 hotCap: Int = 1024, saltBuckets: Int = 16): DataFrame = {
+    val shingled = sigs.select(col("id"), col("shingles"))
+    val cands = Dedup.candidatePairsSkewAware(
+      Dedup.bandTable(Dedup.validSignatures(sigs), cfg), hotCap, saltBuckets)
+    Dedup.verifiedPairs(cands, shingled, cfg)
+  }
+
   /** Full resumable run: signatures (bucket-checkpointed) -> pairs ->
     * clusters, with pairs/clusters written once and stamped by tag.
     */
   def run(docs: DataFrame, cfg: DedupConfig, workDir: String,
-          buckets: Int = 16): DataFrame = {
+          buckets: Int = 16, hotCap: Int = 1024,
+          saltBuckets: Int = 16): DataFrame = {
     val spark = docs.sparkSession
     val sigs = signaturesStage(docs, cfg, workDir, buckets)
-    val shingled = sigs.select(col("id"), col("shingles"))
-    val cands = Dedup.candidatePairs(Dedup.bandTable(sigs, cfg))
-    val pairs = Dedup.verifiedPairs(cands, shingled, cfg)
+    val pairs = pairsStage(sigs, cfg, hotCap, saltBuckets)
     val clusters = Dedup.clusters(pairs)
     clusters.write.mode(SaveMode.Overwrite)
       .parquet(s"$workDir/clusters/tag=${cfg.configTag}")

@@ -38,6 +38,7 @@ final case class DedupConfig(
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val json =
       s"""{"shingleK":$shingleK,"numHashes":$numHashes,"bands":$bands,""" +
+        s""""rowsPerBand":$rowsPerBand,""" +
         s""""threshold":$threshold,"minTokens":$minTokens}"""
     md.digest(json.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(40)
   }
@@ -185,11 +186,30 @@ object Dedup {
     // joins — persist it once rather than recomputing the scan+shingling
     // three times (at cluster scale this is the materialized
     // intermediate table, reference repr-store semantics SURVEY.md S5).
+    // NOTE: lazy — the persisted shingle table stays cached for the
+    // session. Callers that materialize the pair set once should use
+    // pairsMaterialized, which evicts the cache after computing.
     val shingled = shingleSets(docs, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = signatures(shingled, cfg)
-    val cands = candidatePairs(bandTable(sigs, cfg), saltBuckets)
+    val cands = candidatePairs(bandTable(validSignatures(sigs), cfg), saltBuckets)
     verifiedPairs(cands, shingled, cfg)
+  }
+
+  /** Eagerly-materialized pairs: computes the verified pair set once
+    * (localCheckpoint), then unpersists the intermediate shingle cache so
+    * repeated invocations (bench warmup+timed run, per-dir serving
+    * caches) don't accumulate cached blocks for the life of the session.
+    */
+  def pairsMaterialized(docs: DataFrame, cfg: DedupConfig = DedupConfig(),
+                        saltBuckets: Int = 1): DataFrame = {
+    val shingled = shingleSets(docs, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sigs = signatures(shingled, cfg)
+      val cands = candidatePairs(bandTable(validSignatures(sigs), cfg), saltBuckets)
+      verifiedPairs(cands, shingled, cfg).localCheckpoint(true)
+    } finally shingled.unpersist()
   }
 
   /** Exact n-gram Jaccard pairs via inverted-index self-join: any pair
@@ -260,9 +280,9 @@ object Dedup {
     */
   def incrementalPairs(newSigs: DataFrame, allSigs: DataFrame,
                        cfg: DedupConfig): DataFrame = {
-    val newBands = bandTable(newSigs, cfg)
+    val newBands = bandTable(validSignatures(newSigs), cfg)
       .select(col("band_key"), col("id").as("id_x"))
-    val allBands = bandTable(allSigs, cfg)
+    val allBands = bandTable(validSignatures(allSigs), cfg)
       .select(col("band_key"), col("id").as("id_y"))
     val cands = newBands.join(allBands, "band_key")
       .where(col("id_x") =!= col("id_y"))
@@ -272,10 +292,36 @@ object Dedup {
     verifiedPairs(cands, allSigs.select(col("id"), col("shingles")), cfg)
   }
 
+  /** Incremental matching against a PERSISTED band store (id, band_key):
+    * the all-side band keys are read back, never recomputed — per-batch
+    * work is O(new) banding + the keyed join, not O(corpus) re-banding
+    * (the fix for the fork's cadence semantics at streaming granularity,
+    * `ray_extract_features.py:241-367`). `newIds` selects the new-side
+    * rows out of the store; verification runs against the full shingle
+    * table exactly as in incrementalPairs.
+    */
+  def incrementalPairsBanded(newIds: DataFrame, bandStore: DataFrame,
+                             shingled: DataFrame, cfg: DedupConfig): DataFrame = {
+    val newBands = bandStore
+      .join(newIds.select("id"), Seq("id"), "left_semi")
+      .select(col("band_key"), col("id").as("id_x"))
+    val allBands = bandStore.select(col("band_key"), col("id").as("id_y"))
+    val cands = newBands.join(allBands, "band_key")
+      .where(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    verifiedPairs(cands, shingled.select(col("id"), col("shingles")), cfg)
+  }
+
   /** F8 signature-validity filter: drop degenerate signatures whose
     * first three components are identical (reference
-    * `ray_extract_features.py:578-582`); with MinHash this means the
-    * shingle set was empty/near-empty.
+    * `ray_extract_features.py:578-582`); with MinHash this happens
+    * exactly when the shingle set is empty (every slot keeps the kernel's
+    * init sentinel) — a forged/empty signature would otherwise share
+    * every band key with every other degenerate row and join them all.
+    * Applied before banding in pairs / incrementalPairs /
+    * ResumableDedupJob.
     */
   def validSignatures(sigs: DataFrame): DataFrame =
     sigs.where(!(element_at(col("sig"), 1) === element_at(col("sig"), 2) &&

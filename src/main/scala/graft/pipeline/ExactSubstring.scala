@@ -88,23 +88,40 @@ object ExactSubstring {
     * where the shorter text occurs verbatim inside the longer
     * (contained = true/false). Deterministic; text is compared as-is —
     * normalize upstream if desired.
+    *
+    * Pairs are grouped by their HAY document (the longer side) so the
+    * O(n log^2 n) suffix array is built ONCE per hay doc per batch, then
+    * each needle is an O(m log n) binary search — a hay appearing in k
+    * candidate pairs no longer pays k constructions.
     */
   def containmentPairs(candidates: DataFrame, docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val a = docs.select(col("id").as("id_a"), col("text").as("text_a"))
     val b = docs.select(col("id").as("id_b"), col("text").as("text_b"))
-    val joined = candidates.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    val oriented = candidates.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
       .select(col("id_a").cast("string"), col("id_b").cast("string"),
         col("text_a"), col("text_b"))
       .as[(String, String, String, String)]
-    joined.map { case (ia, ib, ta, tb) =>
-      val (hay, needle) = if (ta.length >= tb.length) (ta, tb) else (tb, ta)
-      val contained =
-        if (needle.isEmpty) true
-        else if (hay.isEmpty) false
-        else containsVia(hay, suffixArray(hay), needle)
-      (ia, ib, contained)
+      .map { case (ia, ib, ta, tb) =>
+        // (hayId, idA, idB, hayText, needleText); hay = longer side
+        if (ta.length >= tb.length) (ia, ia, ib, ta, tb)
+        else (ib, ia, ib, tb, ta)
+      }
+    oriented.groupByKey(_._1).flatMapGroups { (_, rows) =>
+      var hay: String = null
+      var sa: Array[Int] = null
+      rows.map { case (_, ia, ib, hayText, needle) =>
+        if (hay == null) {
+          hay = hayText
+          if (hay.nonEmpty) sa = suffixArray(hay)
+        }
+        val contained =
+          if (needle.isEmpty) true
+          else if (hay.isEmpty) false
+          else containsVia(hay, sa, needle)
+        (ia, ib, contained)
+      }
     }.toDF("id_a", "id_b", "contained")
   }
 }

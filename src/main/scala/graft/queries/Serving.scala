@@ -45,16 +45,16 @@ object Serving {
     */
   def listByMatchCount(docs: DataFrame, edges: DataFrame,
                        limit: Int = 20, offset: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cnt = bothDirections(edges).groupBy(col("src").as("doc_id"))
       .agg(count(lit(1)).as("hit_count"))
     val joined = docs.select(col("id").as("doc_id"))
       .join(cnt, Seq("doc_id"), "left_outer")
       .withColumn("hit_count", coalesce(col("hit_count"), lit(0L)))
-    val w = Window.orderBy(col("hit_count").desc, col("doc_id").asc)
-    joined.withColumn("rn", row_number().over(w))
-      .where(col("rn") > offset && col("rn") <= offset + limit)
-      .drop("rn")
+    // offset+limit << n: sort+limit compiles to TakeOrderedAndProject
+    // (per-partition top-k, tiny driver merge) — never a global
+    // single-partition WindowExec over all docs
+    joined.orderBy(col("hit_count").desc, col("doc_id").asc)
+      .offset(offset).limit(limit)
   }
 
   /** J8 semi/anti-join membership: docs having (or not having) any match
@@ -99,6 +99,18 @@ object Serving {
     }
     seen
   }
+
+  /** Deterministic result slice of the n-hop expansion
+    * (`db/access/matches.py:128-142`: the expansion is sorted by id and
+    * offset/limit-sliced before hydration). Sort+offset+limit compiles
+    * to TakeOrderedAndProject — no global window.
+    */
+  def nHopSlice(edges: DataFrame, sourceId: Any, hops: Int,
+                offset: Int = 0, limit: Int = 100,
+                minSim: Double = 0.0, maxSim: Double = 1.0): DataFrame =
+    nHopCluster(edges, sourceId, hops, minSim, maxSim)
+      .orderBy(col("doc_id").asc)
+      .offset(offset).limit(limit)
 
   /** Edges within a seen set (`db/access/matches.py:97-109`): all edges
     * whose both endpoints belong to `members(doc_id)`.

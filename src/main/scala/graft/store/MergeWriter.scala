@@ -22,12 +22,15 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
   /** Upsert a batch: matched keys take the new values, unmatched insert.
     * batchId must increase monotonically across logical writes (the
     * reference uses txn chunks; streaming callers pass the micro-batch
-    * id, `ray_extract_features.py:165-206` semantics).
+    * id, `ray_extract_features.py:165-206` semantics). Overwrite of the
+    * per-batch directory makes a RETRIED batch replace itself — append
+    * would leave two sets of rows with the same _batch id and an
+    * undefined last-writer-wins tiebreak in read().
     */
   def upsert(batch: DataFrame, batchId: Long): Unit =
     batch
       .withColumn("_batch", lit(batchId))
-      .write.mode(SaveMode.Append)
+      .write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/_batch=$batchId")
 
   /** Current state: last writer per key wins (highest batch id). */
@@ -43,6 +46,34 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
   }
 
   def exists(): Boolean = new java.io.File(dir).exists()
+
+  /** Compact the batch history to current state: materializes read()
+    * (last-writer-wins) as a single batch directory and drops the
+    * superseded `_batch=` dirs, so read() stops paying a window over the
+    * full history (with an Iceberg catalog this is
+    * `rewrite_data_files` / snapshot expiry). read() results are
+    * identical before and after; upserts with higher batch ids continue
+    * to work on the compacted store.
+    */
+  def compact(): Unit = {
+    val raw = spark.read.option("basePath", dir).parquet(dir)
+    val maxBatch = raw.agg(max(col("_batch"))).head().get(0).toString.toLong
+    val tmp = s"$path/_compact_tmp"
+    // materialize BEFORE deleting anything
+    read().withColumn("_batch", lit(maxBatch))
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_batch="))
+      .foreach(deleteRecursively)
+    require(new java.io.File(tmp).renameTo(new java.io.File(s"$dir/_batch=$maxBatch")),
+      s"compact: rename of $tmp failed")
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 }
 
 /** Flat-file report sinks (reference CSV reports,

@@ -32,6 +32,7 @@ object IncrementalIngest {
             checkpointDir: String): StreamingQuery = {
     val sigDir = s"$workDir/signatures_stream/tag=${cfg.configTag}"
     val pairDir = s"$workDir/pairs_stream/tag=${cfg.configTag}"
+    val bandDir = bandsDir(workDir, cfg)
 
     pagesStream
       .select(col("url").as("id"), col("text"))
@@ -41,26 +42,41 @@ object IncrementalIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        def readOpt(p: String): Option[DataFrame] =
+          try Some(spark.read.parquet(p)) catch { case _: Throwable => None }
         val newSigs = Dedup.signatures(Dedup.shingleSets(batch, cfg), cfg)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           // (1) idempotent signature flush: left-anti join vs existing ids
-          val existing: Option[DataFrame] =
-            try Some(spark.read.parquet(sigDir)) catch { case _: Throwable => None }
-          val pending = existing match {
+          val pending = readOpt(sigDir) match {
             case Some(e) => newSigs.join(e.select("id"), Seq("id"), "left_anti")
             case None    => newSigs
           }
           pending.write.mode(SaveMode.Append).parquet(sigDir)
 
-          // (2) incremental matching: new-batch bands vs full band table
-          val all = spark.read.parquet(sigDir)
-          val newInStore = all.join(newSigs.select("id"), Seq("id"), "left_semi")
-          val newPairs = Dedup.incrementalPairs(newInStore, all, cfg)
+          // (2) incremental BAND store: append band keys for ids the
+          // store has never banded (anti-join vs the band store itself,
+          // so a crash between the sig and band writes self-heals on
+          // retry). The all-side of every later batch is READ from here
+          // — never recomputed from the full signature store.
+          val bandPending = readOpt(bandDir) match {
+            case Some(bs) => Dedup.validSignatures(newSigs)
+              .join(bs.select("id").distinct(), Seq("id"), "left_anti")
+            case None => Dedup.validSignatures(newSigs)
+          }
+          Dedup.bandTable(bandPending, cfg)
+            .select(col("id"), col("band_key"))
+            .write.mode(SaveMode.Append).parquet(bandDir)
+
+          // (3) incremental matching: this batch's ids vs the persisted
+          // band store (new x all, never all x all; all-side bands from
+          // storage)
+          val allSigs = spark.read.parquet(sigDir)
+          val bandStore = spark.read.parquet(bandDir)
+          val newPairs = Dedup.incrementalPairsBanded(
+            newSigs.select("id"), bandStore, allSigs, cfg)
           // dedup vs pairs already recorded (MERGE "when not matched")
-          val existingPairs: Option[DataFrame] =
-            try Some(spark.read.parquet(pairDir)) catch { case _: Throwable => None }
-          val fresh = existingPairs match {
+          val fresh = readOpt(pairDir) match {
             case Some(p) =>
               newPairs.join(p.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
             case None => newPairs
@@ -70,6 +86,14 @@ object IncrementalIngest {
       }
       .start()
   }
+
+  /** The persisted incremental LSH band table (id, band_key). */
+  def bandsDir(workDir: String, cfg: DedupConfig): String =
+    s"$workDir/bands_stream/tag=${cfg.configTag}"
+
+  def bands(spark: org.apache.spark.sql.SparkSession, workDir: String,
+            cfg: DedupConfig): DataFrame =
+    spark.read.parquet(bandsDir(workDir, cfg))
 
   def signatures(spark: org.apache.spark.sql.SparkSession, workDir: String,
                  cfg: DedupConfig): DataFrame =

@@ -109,6 +109,17 @@ class ResumeStreamingAnnSpec extends SparkSpecBase {
     // idempotent signature flush: one row per doc
     val sigs = IncrementalIngest.signatures(spark, workDir, cfg)
     assert(sigs.select("id").distinct().count() == sigs.count())
+    // incremental band store: the persisted all-side band table equals a
+    // full re-band of the signature store (row-count + set evidence that
+    // matching reads bands from storage instead of recomputing them) and
+    // holds exactly one band set per doc (append-once across batches)
+    val bandStore = IncrementalIngest.bands(spark, workDir, cfg)
+    val rebanded = Dedup.bandTable(Dedup.validSignatures(sigs), cfg)
+    assert(bandStore.count() == rebanded.count())
+    assert(bandStore.select("id", "band_key")
+      .except(rebanded.select("id", "band_key")).count() == 0)
+    assert(bandStore.groupBy("id").count()
+      .where(col("count") =!= cfg.bands).count() == 0)
   }
 
   test("ANN: SRP-LSH recall vs brute force on labeled embeddings") {

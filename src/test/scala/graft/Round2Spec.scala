@@ -1,0 +1,232 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.corpus.SynthCorpus
+import graft.functions.{PageMetadata, TextFunctions}
+import graft.pipeline.{Dedup, DedupConfig, ExactSubstring, ResumableDedupJob}
+import graft.queries.{Segmentation, Serving}
+
+/** Round-2 regression tests: judge/advisor items from VERDICT.md and
+  * ADVICE.md — skew-aware production path, validSignatures wiring,
+  * scale-safe pagination, merge-store compaction, scene segmentation,
+  * typed HTML metadata, path scalars, suffix-array reuse.
+  */
+class Round2Spec extends SparkSpecBase {
+  private val cfg = DedupConfig()
+
+  test("configTag covers every banding-relevant field incl. rowsPerBand") {
+    val base = cfg.configTag
+    assert(cfg.copy(rowsPerBand = 2).configTag != base)
+    assert(cfg.copy(bands = 32).configTag != base)
+    assert(cfg.copy(shingleK = 4).configTag != base)
+    assert(cfg.copy(threshold = 0.6).configTag != base)
+    assert(cfg.copy(numHashes = 64, bands = 20).configTag != base)
+  }
+
+  test("validSignatures drops degenerate (empty-shingle) signatures before banding") {
+    val spark2 = spark
+    import spark2.implicits._
+    // an empty shingle set leaves the MinHash kernel's init sentinel in
+    // every slot -> first three components equal (ref
+    // ray_extract_features.py:578-582 degenerate-signature semantics)
+    val degen = Seq((99L, Seq.empty[Long])).toDF("id", "shingles")
+    val degenSigs = Dedup.signatures(degen, cfg)
+    val sig = degenSigs.select("sig").head.getSeq[Long](0)
+    assert(sig(0) == sig(1) && sig(1) == sig(2))
+    val real = Dedup.signatures(
+      Dedup.shingleSets(Seq((1L, "a b c d e"), (2L, "a b c d e"))
+        .toDF("id", "text"), cfg), cfg)
+    val all = real.unionByName(degenSigs)
+    val valid = Dedup.validSignatures(all)
+    assert(valid.count() == 2 && valid.where(col("id") === 99L).count() == 0)
+    // and the banding path never sees the degenerate row: the wired
+    // pipeline (pairs) still finds exactly the real pair
+    val bands = Dedup.bandTable(valid, cfg)
+    assert(bands.where(col("id") === 99L).count() == 0)
+    val p = Dedup.pairs(Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "q r"))
+      .toDF("id", "text"), cfg)
+    assert(p.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("production path: ResumableDedupJob.run on the skew fixture matches the plain pipeline") {
+    val (skewed, _) = SynthCorpus.generate(spark, seed = 7L, nBase = 300,
+      dupRate = 0.1, skewBoilerplate = true)
+    val docs = Dedup.fromPages(skewed).localCheckpoint(true)
+    val expected = Dedup.clusters(Dedup.pairs(docs, cfg))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val workDir = java.nio.file.Files.createTempDirectory("graft-skewrun").toString
+    // tiny hotCap so the shared-boilerplate bands actually take the
+    // salted branch (fixture bands reach width ~90)
+    val got = ResumableDedupJob.run(docs, cfg, workDir, buckets = 4,
+        hotCap = 8, saltBuckets = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == expected)
+    // identical pair set out of the skew-aware pairs stage
+    val sigs = spark.read.parquet(s"$workDir/signatures/tag=${cfg.configTag}")
+    val stage = ResumableDedupJob.pairsStage(sigs, cfg, hotCap = 8, saltBuckets = 4)
+    val plainPairs = Dedup.pairs(docs, cfg)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(stage.select("id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet == plainPairs)
+    // hot/cold split visible in the plan: the salted hot branch unions
+    // with the plain cold branch
+    val plan = stage.queryExecution.executedPlan.toString
+    assert(plan.contains("Union"), s"expected hot/cold union in plan:\n${plan.take(800)}")
+  }
+
+  test("listByMatchCount: top-k plan (no single-partition window), offset slices") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (1L to 100L).map(i => (i, s"t$i")).toDF("id", "text")
+    val edges = Seq((1L, 2L, 0.9), (1L, 3L, 0.9), (1L, 4L, 0.9), (2L, 3L, 0.8))
+      .toDF("id_a", "id_b", "similarity")
+    val page1 = Serving.listByMatchCount(docs, edges, limit = 3, offset = 0)
+    val plan = page1.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in pagination plan:\n${plan.take(800)}")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n${plan.take(800)}")
+    val got1 = page1.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // hit counts: 1 -> 3, 2 -> 2, 3 -> 2, 4 -> 1, rest 0; order by
+    // (hit_count desc, doc_id asc)
+    assert(got1 == Seq((1L, 3L), (2L, 2L), (3L, 2L)))
+    val page2 = Serving.listByMatchCount(docs, edges, limit = 3, offset = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(page2 == Seq((4L, 1L), (5L, 0L), (6L, 0L)))
+  }
+
+  test("nHopSlice: deterministic sorted offset/limit of the expansion") {
+    val spark2 = spark
+    import spark2.implicits._
+    // chain 1-2-3-4-5
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0), (4L, 5L, 1.0))
+      .toDF("id_a", "id_b", "similarity")
+    val full = Serving.nHopCluster(edges, 1L, hops = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == Set(1L, 2L, 3L, 4L, 5L))
+    val slice = Serving.nHopSlice(edges, 1L, hops = 4, offset = 1, limit = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(slice == Seq(2L, 3L))
+  }
+
+  test("merge store: compaction preserves read() and collapses history; upserts continue") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val w = new graft.store.MergeWriter(spark, dir, Seq("url"))
+    w.upsert(Seq(("u1", 10), ("u2", 20)).toDF("url", "v"), batchId = 1)
+    w.upsert(Seq(("u2", 21), ("u3", 30)).toDF("url", "v"), batchId = 2)
+    w.upsert(Seq(("u1", 11)).toDF("url", "v"), batchId = 3)
+    val before = w.read().collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(before == Set(("u1", 11), ("u2", 21), ("u3", 30)))
+    w.compact()
+    val dirs = new java.io.File(s"$dir/table").listFiles()
+      .filter(_.getName.startsWith("_batch=")).map(_.getName).toSeq
+    assert(dirs == Seq("_batch=3"), s"history not collapsed: $dirs")
+    assert(w.read().collect().map(r => (r.getString(0), r.getInt(1))).toSet == before)
+    // post-compaction upsert still wins over compacted state
+    w.upsert(Seq(("u3", 31)).toDF("url", "v"), batchId = 4)
+    assert(w.read().collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+      Set(("u1", 11), ("u2", 21), ("u3", 31)))
+    // retried batch replaces itself even with different values
+    w.upsert(Seq(("u3", 32)).toDF("url", "v"), batchId = 4)
+    assert(w.read().where(col("url") === "u3").head.getInt(1) == 32)
+  }
+
+  test("scene segmentation: per-item percentile threshold cuts, segment stats (hand oracle)") {
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val events = Seq(
+      // user 1: values step 0.1 then jump 9.8 -> p90 of deltas
+      // [.1,.1,9.8,.1] = 6.89 -> exactly one cut before e4
+      (1L, 1L, ts(0), 0.0), (1L, 2L, ts(1), 0.1), (1L, 3L, ts(2), 0.2),
+      (1L, 4L, ts(3), 10.0), (1L, 5L, ts(4), 10.1),
+      // user 2: constant -> all deltas 0, threshold 0, no strict cut
+      (2L, 6L, ts(0), 5.0), (2L, 7L, ts(1), 5.0), (2L, 8L, ts(2), 5.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val stats = Segmentation.segmentStats(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(stats == Set(
+      (1L, 0L, 3L, 0.1), (1L, 1L, 2L, 10.05), (2L, 0L, 3L, 5.0)))
+    val segs = Segmentation.assignSegments(events)
+      .select("event_id", "seg_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(segs == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L,
+      6L -> 0L, 7L -> 0L, 8L -> 0L))
+  }
+
+  test("path scalars: basename + relativize (repr_utils semantics)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      ("https://ex.org/a/b/page.html", "https://ex.org"),
+      ("https://ex.org/a/b/", "https://ex.org/a"),
+      ("plain", "https://other.org"),
+      ("https://other.org/x", "https://ex.org")
+    ).toDF("path", "base")
+    val got = df.select(
+      TextFunctions.basename(col("path")).as("bn"),
+      TextFunctions.relativize(col("path"), col("base")).as("rel"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      ("page.html", "a/b/page.html"),
+      ("b", "b/"),
+      ("plain", "plain"),
+      ("x", "https://other.org/x")))
+  }
+
+  test("typed HTML metadata extraction: golden page + synthetic corpus invariants") {
+    val spark2 = spark
+    import spark2.implicits._
+    val golden =
+      """<!DOCTYPE html><html lang="en"><head><meta charset="utf-8">
+        |<title>Hello World</title>
+        |<meta name="description" content="A test page">
+        |<meta name="keywords" content="a,b">
+        |<link rel="canonical" href="https://ex.org/x">
+        |<style>s{}</style><script>var i=1;</script></head>
+        |<body><h1>H</h1><h2>I</h2><p>one</p><p>two</p>
+        |<a href="/x">l</a><a href="/y">m</a><img src="i.png"></body></html>""".stripMargin
+    val df = Seq(("https://ex.org/x", golden.getBytes("UTF-8"))).toDF("url", "html")
+    val m = PageMetadata.extract(df).head
+    assert(m.getAs[String]("title") == "Hello World")
+    assert(m.getAs[String]("charset") == "utf-8")
+    assert(m.getAs[String]("lang_attr") == "en")
+    assert(m.getAs[String]("meta_description") == "A test page")
+    assert(m.getAs[String]("meta_keywords") == "a,b")
+    assert(m.getAs[String]("canonical_url") == "https://ex.org/x")
+    assert(m.getAs[Long]("n_links") == 2L)
+    assert(m.getAs[Long]("n_images") == 1L)
+    assert(m.getAs[Long]("n_paragraphs") == 2L)
+    assert(m.getAs[Long]("n_headings") == 2L)
+    assert(m.getAs[Boolean]("has_script") && m.getAs[Boolean]("has_style"))
+    // synthetic corpus: html wraps text in <p> blocks with script+style,
+    // empty title -> null; text_len equals the extracted body text
+    val (pages, _) = SynthCorpus.generate(spark, seed = 5L, nBase = 30)
+    val meta = PageMetadata.extract(pages)
+    assert(meta.where(col("title").isNotNull).count() == 0)
+    assert(meta.where(!col("has_script") || !col("has_style")).count() == 0)
+    val lens = meta.join(pages.select(col("url"), length(col("text")).as("want")), "url")
+    assert(lens.where(col("text_len") =!= col("want")).count() == 0)
+  }
+
+  test("suffix-array containment: one SA per hay doc, semantics unchanged") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "brown fox"), (3L, "purple cow"), (4L, "dog"),
+      (5L, "abc"), (6L, "abd")
+    ).toDF("id", "text")
+    // hay doc 1 appears in three pairs: SA built once per group
+    val cands = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val got = ExactSubstring.containmentPairs(cands, docs)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getBoolean(2))).toMap
+    assert(got == Map(
+      ("1", "2") -> true, ("1", "3") -> false, ("1", "4") -> true,
+      ("2", "3") -> false, ("5", "6") -> false))
+  }
+}
