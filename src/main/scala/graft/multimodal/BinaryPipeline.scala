@@ -4,19 +4,73 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns for training-data pipelines: image/audio/video as
-  * opaque `binary` columns with typed metadata. The DECODE KERNELS ARE
-  * DETERMINISTIC STUBS (this container ships no image/audio codecs) —
-  * clearly marked below — but the Spark-side plumbing is real and
-  * tested: schema contracts, batched per-partition execution (the Scala
-  * analog of `mapInPandas` batch shape), partition-count preservation,
-  * and explode-based unit decomposition (the reference's frame sampler
-  * role, `winnow/feature_extraction/utils.py:25-73`).
+  * opaque `binary` columns with typed metadata.
+  *
+  * Metadata DECODE is REAL for the standard still-image containers —
+  * `decodeImageHeader` parses PNG IHDR, GIF screen descriptors, BMP info
+  * headers and JPEG SOF frame headers with pure byte arithmetic (no
+  * codec dependency). PIXEL-level work (frame rasterization, CNN
+  * features) REMAINS A DETERMINISTIC STUB (`featurizeStub` — this
+  * container ships no codecs); unrecognized byte streams also fall back
+  * to the deterministic metadata stub. The Spark-side plumbing is real
+  * and tested: schema contracts, batched per-partition execution (the
+  * Scala analog of `mapInPandas` batch shape), partition-count
+  * preservation, and explode-based unit decomposition (the reference's
+  * frame sampler role, `winnow/feature_extraction/utils.py:25-73`).
   */
 object BinaryPipeline {
 
   final case class MediaMeta(format: String, width: Int, height: Int, nFrames: Int)
   final case class Decoded(id: String, meta: MediaMeta)
   final case class Frame(id: String, frameIdx: Int, feature: Array[Float])
+
+  /** REAL container-header decode for standard still-image formats —
+    * pure JVM byte parsing, no codec dependency: PNG IHDR (big-endian
+    * dims at offsets 16/20), GIF 87a/89a logical screen descriptor
+    * (little-endian at 6/8), BMP BITMAPINFOHEADER (little-endian at
+    * 18/22, height may be negative for top-down rows), JPEG SOF0/1/2
+    * frame header (big-endian, found by walking marker segments).
+    * Returns None for unrecognized bytes; callers fall back to the
+    * deterministic stub.
+    */
+  def decodeImageHeader(bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes == null || bytes.length < 12) return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def be32(i: Int): Int = (be16(i) << 16) | be16(i + 2)
+    def le32(i: Int): Int = le16(i) | (le16(i + 2) << 16)
+    if (bytes.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' &&
+        u8(2) == 'N' && u8(3) == 'G')
+      return Some(MediaMeta("png", be32(16), be32(20), 1))
+    if (u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8' &&
+        (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
+      return Some(MediaMeta("gif", le16(6), le16(8), 1))
+    if (bytes.length >= 26 && u8(0) == 'B' && u8(1) == 'M')
+      return Some(MediaMeta("bmp", le32(18), math.abs(le32(22)), 1))
+    if (u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 9 < bytes.length && u8(i) == 0xff) {
+        val marker = u8(i + 1)
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
+          return Some(MediaMeta("jpeg", be16(i + 7), be16(i + 5), 1))
+        if (marker >= 0xd0 && marker <= 0xd9) i += 2 // standalone markers
+        else {
+          val segLen = be16(i + 2)
+          if (segLen < 2) return Some(MediaMeta("jpeg", 0, 0, 1)) // corrupt
+          i += 2 + segLen
+        }
+      }
+      return Some(MediaMeta("jpeg", 0, 0, 1)) // truncated before SOF
+    }
+    None
+  }
+
+  /** Metadata decode: real header parse when the container is
+    * recognized, deterministic stub otherwise.
+    */
+  def decodeMeta(bytes: Array[Byte]): MediaMeta =
+    decodeImageHeader(bytes).getOrElse(decodeStub(bytes))
 
   /** STUB decode: derives plausible metadata purely from the bytes
     * (deterministic). In production this is an image/video codec behind
@@ -61,7 +115,7 @@ object BinaryPipeline {
     import spark.implicits._
     media.select(col("id").cast("string"), col("bytes"))
       .as[(String, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => Decoded(id, decodeStub(bytes)) })
+      .mapPartitions(_.map { case (id, bytes) => Decoded(id, decodeMeta(bytes)) })
       .toDF()
       .select(col("id"), col("meta.format").as("format"),
         col("meta.width").as("width"), col("meta.height").as("height"),
@@ -79,7 +133,7 @@ object BinaryPipeline {
       .as[(String, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val meta = decodeStub(bytes)
+          val meta = decodeMeta(bytes)
           (0 until meta.nFrames by stride).iterator.map { f =>
             Frame(id, f, featurizeStub(bytes, f, dim))
           }

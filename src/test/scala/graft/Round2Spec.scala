@@ -212,6 +212,39 @@ class Round2Spec extends SparkSpecBase {
     assert(lens.where(col("text_len") =!= col("want")).count() == 0)
   }
 
+  test("multimodal: real image-header decode (png/gif/bmp/jpeg) with stub fallback") {
+    import graft.multimodal.BinaryPipeline
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val png = b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 2, 0x80, /* 640 */ 0, 0, 1, 0xe0 /* 480 */) ++ new Array[Byte](8)
+    assert(BinaryPipeline.decodeImageHeader(png).contains(
+      BinaryPipeline.MediaMeta("png", 640, 480, 1)))
+    val gif = b('G', 'I', 'F', '8', '9', 'a',
+      0x40, 0x01, /* 320 LE */ 0xc8, 0x00 /* 200 LE */) ++ new Array[Byte](6)
+    assert(BinaryPipeline.decodeImageHeader(gif).contains(
+      BinaryPipeline.MediaMeta("gif", 320, 200, 1)))
+    val bmp = b('B', 'M') ++ new Array[Byte](16) ++
+      b(0x20, 0x03, 0, 0, /* 800 LE */ 0xaf, 0xfd, 0xff, 0xff /* -593 -> 593 */)
+    assert(BinaryPipeline.decodeImageHeader(bmp).contains(
+      BinaryPipeline.MediaMeta("bmp", 800, 593, 1)))
+    val jpg = b(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 0, 0, // APP0 segment
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x01, 0xe0, 0x02, 0x80) ++ new Array[Byte](4)
+    assert(BinaryPipeline.decodeImageHeader(jpg).contains(
+      BinaryPipeline.MediaMeta("jpeg", 640, 480, 1)))
+    // unrecognized bytes fall back to the deterministic stub
+    val junk = Array.tabulate[Byte](40)(i => (i % 127).toByte)
+    assert(BinaryPipeline.decodeImageHeader(junk).isEmpty)
+    assert(BinaryPipeline.decodeMeta(junk) == BinaryPipeline.decodeStub(junk))
+    // and the DataFrame operator lands the real header values
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(("p1", png), ("g1", gif)).toDF("id", "bytes")
+    val got = BinaryPipeline.decode(df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got == Set(("p1", "png", 640, 480), ("g1", "gif", 320, 200)))
+  }
+
   test("suffix-array containment: one SA per hay doc, semantics unchanged") {
     val spark2 = spark
     import spark2.implicits._

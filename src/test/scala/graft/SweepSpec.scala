@@ -1,0 +1,35 @@
+package graft
+
+import graft.corpus.SynthCorpus
+import graft.pipeline.{Dedup, DedupConfig}
+
+/** Config-sweep harness test (reference protocol
+  * `benchmarks/evaluate.py:84-113`): the scoreboard must rank the
+  * contract configuration (shingleK=3, threshold=0.5 — what the truth
+  * labels are defined at) at least as high as every other grid cell.
+  */
+class SweepSpec extends SparkSpecBase {
+
+  test("sweep scoreboard: default config wins or ties on F1 against labeled truth") {
+    val (pages, labels) = SynthCorpus.generate(spark, seed = 99L,
+      nBase = 400, dupRate = 0.25)
+    val docs = Dedup.fromPages(pages).localCheckpoint(true)
+    val lab = labels.localCheckpoint(true)
+    val default = DedupConfig()
+    val truth = SweepJob.truthPairs(pages, lab, default.threshold)
+      .localCheckpoint(true)
+    val grid = for {
+      k <- Seq(2, 3, 4)
+      tau <- Seq(0.3, 0.5, 0.7)
+    } yield DedupConfig(shingleK = k, threshold = tau)
+    val cells = grid.map(c => SweepJob.score(docs, truth, c))
+    val defCell = cells.find(c =>
+      c.shingleK == default.shingleK && c.threshold == default.threshold).get
+    assert(defCell.recall == 1.0 && defCell.precision == 1.0,
+      s"default config not perfect on its own contract: $defCell")
+    cells.foreach(c => assert(defCell.f1 >= c.f1,
+      s"default f1 ${defCell.f1} < cell $c"))
+    // every cell's ranked lists are sane: mAP defined and within [0,1]
+    cells.foreach(c => assert(c.mAP >= 0.0 && c.mAP <= 1.0))
+  }
+}
