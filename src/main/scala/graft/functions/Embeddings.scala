@@ -28,20 +28,67 @@ object Embeddings {
     * broadcast when small; at scale use block-nested loops via
     * repartitioned crossJoin (Spark handles via
     * CartesianProduct/BroadcastNestedLoopJoin).
+    *
+    * The O(|q|*|c|) scored stream is reduced IN PLACE per partition
+    * (map-side partial top-k) before the final exact rank: each task
+    * emits at most k rows per query it saw, plus cosine ties at the
+    * boundary — exclusion is safe under any tie-break because an
+    * excluded row is strictly worse than k rows of the same partition.
+    * Only the tiny partial survives the exchange; the old plan shuffled
+    * the full cross product into a window.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{Encoders, Row}
     val q = queries.select(col("id").as("query_id"), col("embedding").as("qe"))
     val c = corpus.select(col("id").as("neighbor_id"), col("embedding").as("ne"))
     val scored = q.crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qe"), col("ne")))
+      .select("query_id", "neighbor_id", "cosine")
+    topKRanked(scored, k)
+  }
+
+  /** Exact per-query top-k rank over scored(query_id, neighbor_id,
+    * cosine): map-side partial top-k (with boundary ties) then a final
+    * window over the surviving sliver.
+    */
+  private def topKRanked(scored0: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{Encoders, Row}
+    val scored = scored0.select("query_id", "neighbor_id", "cosine")
+    val partial = scored.mapPartitions { it =>
+      // bounded per-query buffer of extracted values (never retained
+      // Rows — the input iterator may reuse its row object), compacted
+      // to the top-k-plus-ties whenever it reaches 4k entries: memory is
+      // O(queries_in_partition * k), not O(rows)
+      val byQ = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.ArrayBuffer[(Any, Double)]]
+      def compacted(buf: scala.collection.mutable.ArrayBuffer[(Any, Double)]) = {
+        val sorted = buf.sortBy(-_._2)
+        val cut = sorted(k - 1)._2
+        sorted.takeWhile(_._2 >= cut)
+      }
+      it.foreach { r =>
+        val buf = byQ.getOrElseUpdate(r.get(0),
+          new scala.collection.mutable.ArrayBuffer[(Any, Double)](2 * k))
+        buf += ((r.get(1), r.getDouble(2)))
+        if (buf.length >= 4 * k) {
+          val kept = compacted(buf)
+          buf.clear()
+          buf ++= kept
+        }
+      }
+      byQ.iterator.flatMap { case (q, buf) =>
+        val kept = if (buf.length <= k) buf else compacted(buf)
+        kept.iterator.map { case (n, c) => Row(q, n, c) }
+      }
+    }(Encoders.row(scored.schema))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    partial.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        col("cosine"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
   /** SRP-LSH approximate top-k: hash embeddings into `tables`
@@ -50,7 +97,6 @@ object Embeddings {
     * tables and shrinks with bits; property-tested in AnnSpec.
     */
   def srpTopK(emb: DataFrame, k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val keyed = emb.select(col("id"), col("embedding"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), srpSignature(col("embedding"), bits, t).as("sig"))): _*))
@@ -62,10 +108,6 @@ object Embeddings {
       .select("query_id", "neighbor_id", "qe", "ne")
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", cosine(col("qe"), col("ne")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cands.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    topKRanked(cands, k)
   }
 }
