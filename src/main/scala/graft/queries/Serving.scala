@@ -123,20 +123,35 @@ object Serving {
 
   /** ilike path search (`db/access/files.py:156-160`) + extension filter
     * (`files.py:162-168`) + date-range filter (`files.py:192-203`) over a
-    * pages-like table, composed from a filter spec.
+    * pages-like table, composed from a filter spec; metadata sort
+    * (`files.py:147-152` — the exif-duration/date sort analog): columns
+    * prefixed '-' sort descending, url appended as the deterministic
+    * tiebreaker, applied with offset/limit pagination (top-k plan, no
+    * global window).
     */
   def listFiles(pages: DataFrame,
                 pathContains: Option[String] = None,
                 langIn: Seq[String] = Nil,
                 minTextLen: Option[Int] = None,
                 tsFrom: Option[java.sql.Timestamp] = None,
-                tsTo: Option[java.sql.Timestamp] = None): DataFrame = {
+                tsTo: Option[java.sql.Timestamp] = None,
+                sortBy: Seq[String] = Nil,
+                offset: Int = 0,
+                limit: Option[Int] = None): DataFrame = {
     var df = pages
     pathContains.foreach(q => df = df.where(lower(col("url")).contains(q.toLowerCase)))
     if (langIn.nonEmpty) df = df.where(col("lang").isin(langIn: _*))
     minTextLen.foreach(n => df = df.where(length(col("text")) >= n))
     tsFrom.foreach(t => df = df.where(col("warc_ts") >= lit(t)))
     tsTo.foreach(t => df = df.where(col("warc_ts") < lit(t)))
+    if (sortBy.nonEmpty || limit.isDefined) {
+      val keys = sortBy.map {
+        case s if s.startsWith("-") => col(s.drop(1)).desc
+        case s => col(s).asc
+      } :+ col("url").asc
+      df = df.orderBy(keys: _*)
+      limit.foreach(n => df = df.offset(offset).limit(n))
+    }
     df
   }
 }

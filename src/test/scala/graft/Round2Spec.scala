@@ -157,6 +157,30 @@ class Round2Spec extends SparkSpecBase {
       6L -> 0L, 7L -> 0L, 8L -> 0L))
   }
 
+  test("listFiles: metadata sort (-desc prefix) + offset/limit pagination") {
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(d: Int) = new Timestamp(1700000000000L + d * 86400000L)
+    val pages = Seq(
+      ("u/a", ts(3), "x y z", "en"),
+      ("u/b", ts(1), "x y", "en"),
+      ("u/c", ts(3), "x", "de"),
+      ("u/d", ts(2), "x y z w", "en")
+    ).toDF("url", "warc_ts", "text", "lang")
+    // newest first, url tiebreak: a (d3), c (d3), d (d2), b (d1)
+    val got = Serving.listFiles(pages, sortBy = Seq("-warc_ts"),
+      limit = Some(3)).select("url").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("u/a", "u/c", "u/d"))
+    val page2 = Serving.listFiles(pages, sortBy = Seq("-warc_ts"),
+      offset = 3, limit = Some(3)).select("url").collect().map(_.getString(0)).toSeq
+    assert(page2 == Seq("u/b"))
+    // filter + ascending lang sort composes
+    val en = Serving.listFiles(pages, langIn = Seq("en"),
+      sortBy = Seq("lang", "warc_ts"), limit = Some(10))
+      .select("url").collect().map(_.getString(0)).toSeq
+    assert(en == Seq("u/b", "u/d", "u/a"))
+  }
+
   test("path scalars: basename + relativize (repr_utils semantics)") {
     val spark2 = spark
     import spark2.implicits._
