@@ -135,6 +135,13 @@ object SparkEntry {
       Serving.nHopCluster(e, seed, hops = 2)
         .select(col("doc_id"), col("hop"))
     }),
+    // deterministic slice of the expansion (matches.py:128-142)
+    "q_nhop_slice" -> ((s, dir) => {
+      val e = edges(s, dir).localCheckpoint(true)
+      val seed = e.agg(min(col("id_a"))).head.getLong(0)
+      Serving.nHopSlice(e, seed, hops = 2, offset = 1, limit = 5)
+        .select(col("doc_id"), col("hop"))
+    }),
     "q_has_matches" -> ((s, dir) =>
       Serving.withMatches(docs(s, dir), edges(s, dir), thr = 0.8)
         .select(col("id").as("doc_id"))),
@@ -166,6 +173,22 @@ object SparkEntry {
     "q_doc_fingerprints" -> ((s, dir) =>
       documents(s, dir).select(col("doc_id"),
         graft.functions.TextFunctions.fingerprint64(col("text")).as("fp64"))),
+    // heuristic quality scoring (gray-max regressor analog,
+    // utils.py:91-111) — full SQL oracle, same arithmetic both engines
+    "q_quality_score" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))),
+    // n-gram-heuristic language ID (fixture oracle: argmax-over-profiles
+    // is not cleanly DuckDB-expressible; semantics unit-tested)
+    "q_lang_id" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        graft.functions.TextFunctions.langId(col("text")).as("lang_id"))),
+    // winnowing fingerprints (content-defined sampling; xxhash64-based ->
+    // fixture oracle), exploded to a flat (doc_id, fp) table
+    "q_winnow_fp" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        explode(graft.functions.TextFunctions.winnowFingerprints(
+          col("text"), 8, 4)).as("fp"))),
     // --- similarity search over embeddings ------------------------------
     "q_ann_topk" -> ((s, dir) => {
       val e = embeddings(s, dir).select(col("vec_id").as("id"), col("embedding"))
@@ -318,6 +341,26 @@ object SparkEntry {
       "SELECT query_id, neighbor_id, cosine, rank FROM '/root/repo/fixtures/q_ann_srp.parquet'",
     "q_html_meta" ->
       "SELECT * FROM '/root/repo/fixtures/q_html_meta.parquet'",
+    "q_lang_id" ->
+      "SELECT doc_id, lang_id FROM '/root/repo/fixtures/q_lang_id.parquet'",
+    "q_winnow_fp" ->
+      "SELECT doc_id, fp FROM '/root/repo/fixtures/q_winnow_fp.parquet'",
+    // same arithmetic, same operand order, round(.,6) both engines;
+    // \p{L} supported by both Java regex and RE2
+    "q_quality_score" ->
+      ("""SELECT doc_id, round((
+         |  least(len(text)/200.0, 1.0) +
+         |  (CASE WHEN len(text) = 0 THEN 0.0
+         |        ELSE len(regexp_replace(text, '[^\p{L}]', '', 'g'))*1.0/len(text) END) +
+         |  (CASE WHEN list_has_any(string_split_regex(lower(text), '\s+'),
+         |        ['the','a','an','and','or','of','to','in','is','it'])
+         |        THEN 1.0 ELSE 0.0 END) +
+         |  (CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0
+         |              ELSE len(string_split_regex(trim(text), '\s+')) END) = 0 THEN 0.5
+         |        WHEN len(text)*1.0/len(string_split_regex(trim(text), '\s+'))
+         |             BETWEEN 3.0 AND 12.0 THEN 1.0
+         |        ELSE 0.5 END)
+         |) / 4.0, 6) AS quality FROM documents""".stripMargin),
     "q_minhash_lsh_pairs" ->
       s"WITH $pairsCte SELECT doc_id_a, doc_id_b, jaccard FROM pairs",
     "q_ngram_jaccard_pairs" ->
@@ -375,6 +418,18 @@ object SparkEntry {
         "  SELECT e.dst, walk.hop + 1 FROM walk JOIN e ON e.src = walk.doc_id " +
         "  WHERE walk.hop < 2) " +
         "SELECT doc_id, CAST(min(hop) AS INTEGER) AS hop FROM walk GROUP BY doc_id"),
+    "q_nhop_slice" ->
+      (s"WITH RECURSIVE $pairsCte, " +
+        "e AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs " +
+        "      UNION SELECT doc_id_b, doc_id_a FROM pairs), " +
+        "seed AS (SELECT min(doc_id_a) AS s FROM pairs), " +
+        "walk(doc_id, hop) AS (" +
+        "  SELECT s, 0 FROM seed " +
+        "  UNION " +
+        "  SELECT e.dst, walk.hop + 1 FROM walk JOIN e ON e.src = walk.doc_id " +
+        "  WHERE walk.hop < 2) " +
+        "SELECT doc_id, CAST(min(hop) AS INTEGER) AS hop FROM walk " +
+        "GROUP BY doc_id ORDER BY doc_id LIMIT 5 OFFSET 1"),
     "q_has_matches" ->
       (s"WITH $pairsCte SELECT DISTINCT doc_id FROM (" +
         "SELECT doc_id_a AS doc_id FROM pairs WHERE jaccard >= 0.8 " +
