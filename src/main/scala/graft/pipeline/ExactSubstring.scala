@@ -92,36 +92,52 @@ object ExactSubstring {
     * Pairs are grouped by their HAY document (the longer side) so the
     * O(n log^2 n) suffix array is built ONCE per hay doc per batch, then
     * each needle is an O(m log n) binary search — a hay appearing in k
-    * candidate pairs no longer pays k constructions.
+    * candidate pairs pays neither k constructions nor k copies of its
+    * text through the shuffle (orientation is decided on lengths alone;
+    * the hay text joins once per group).
     */
   def containmentPairs(candidates: DataFrame, docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val a = docs.select(col("id").as("id_a"), col("text").as("text_a"))
-    val b = docs.select(col("id").as("id_b"), col("text").as("text_b"))
-    val oriented = candidates.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
-      .select(col("id_a").cast("string"), col("id_b").cast("string"),
-        col("text_a"), col("text_b"))
-      .as[(String, String, String, String)]
-      .map { case (ia, ib, ta, tb) =>
-        // (hayId, idA, idB, hayText, needleText); hay = longer side
-        if (ta.length >= tb.length) (ia, ia, ib, ta, tb)
-        else (ib, ia, ib, tb, ta)
-      }
-    oriented.groupByKey(_._1).flatMapGroups { (_, rows) =>
-      var hay: String = null
-      var sa: Array[Int] = null
-      rows.map { case (_, ia, ib, hayText, needle) =>
-        if (hay == null) {
-          hay = hayText
-          if (hay.nonEmpty) sa = suffixArray(hay)
+    // 1. orientation from a LENGTH-only projection — full texts never
+    //    join the candidate table row-per-pair
+    val lens = docs.select(col("id").cast("string").as("id"),
+      length(col("text")).as("len"))
+    val withLen = candidates
+      .select(col("id_a").cast("string").as("id_a"),
+        col("id_b").cast("string").as("id_b"))
+      .join(lens.select(col("id").as("id_a"), col("len").as("len_a")), "id_a")
+      .join(lens.select(col("id").as("id_b"), col("len").as("len_b")), "id_b")
+    val oriented = withLen.select(
+      when(col("len_a") >= col("len_b"), col("id_a")).otherwise(col("id_b"))
+        .as("hay_id"),
+      when(col("len_a") >= col("len_b"), col("id_b")).otherwise(col("id_a"))
+        .as("needle_id"),
+      col("id_a"), col("id_b"))
+    // 2. needle text attaches per pair; pairs group by hay id, so a hay
+    //    in k candidate pairs ships its text 0 times through the
+    //    exchange (needles once each)
+    val needleTexts = docs.select(col("id").cast("string").as("needle_id"),
+      col("text").as("needle_text"))
+    val grouped = oriented.join(needleTexts, "needle_id")
+      .groupBy("hay_id")
+      .agg(collect_list(struct(col("id_a"), col("id_b"), col("needle_text")))
+        .as("items"))
+    // 3. hay text joins ONCE PER GROUP; suffix array built once per hay
+    val hayTexts = docs.select(col("id").cast("string").as("hay_id"),
+      col("text").as("hay_text"))
+    grouped.join(hayTexts, "hay_id")
+      .select(col("hay_text"), col("items"))
+      .as[(String, Seq[(String, String, String)])]
+      .flatMap { case (hay, items) =>
+        val sa = if (hay.nonEmpty) suffixArray(hay) else null
+        items.iterator.map { case (ia, ib, needle) =>
+          val contained =
+            if (needle.isEmpty) true
+            else if (hay.isEmpty) false
+            else containsVia(hay, sa, needle)
+          (ia, ib, contained)
         }
-        val contained =
-          if (needle.isEmpty) true
-          else if (hay.isEmpty) false
-          else containsVia(hay, sa, needle)
-        (ia, ib, contained)
-      }
-    }.toDF("id_a", "id_b", "contained")
+      }.toDF("id_a", "id_b", "contained")
   }
 }

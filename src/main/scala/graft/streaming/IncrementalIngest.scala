@@ -91,6 +91,40 @@ object IncrementalIngest {
   def bandsDir(workDir: String, cfg: DedupConfig): String =
     s"$workDir/bands_stream/tag=${cfg.configTag}"
 
+  /** Compact the append-per-batch stores (signatures, bands, pairs):
+    * each directory accumulates one file set per micro-batch, which at
+    * streaming cadence becomes the classic small-files problem — scans
+    * pay per-file open cost and the band join loses split sizing. The
+    * content is already deduplicated at write time (left-anti joins), so
+    * compaction is a pure rewrite: read, coalesce toward
+    * spark.sql.shuffle.partitions, write to a temp dir, swap. Call
+    * between batches (the stores are not transactional under concurrent
+    * writers — an Iceberg rewrite_data_files in production).
+    */
+  def compactStores(spark: org.apache.spark.sql.SparkSession,
+                    workDir: String, cfg: DedupConfig): Unit = {
+    val targetParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    Seq(s"$workDir/signatures_stream/tag=${cfg.configTag}",
+      bandsDir(workDir, cfg),
+      s"$workDir/pairs_stream/tag=${cfg.configTag}").foreach { dir =>
+      if (new java.io.File(dir).exists()) {
+        val tmp = s"$dir.compact_tmp"
+        spark.read.parquet(dir).coalesce(targetParts)
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
+        val old = new java.io.File(dir)
+        val stash = new java.io.File(s"$dir.old")
+        require(old.renameTo(stash), s"compact: stash of $dir failed")
+        require(new java.io.File(tmp).renameTo(old), s"compact: swap of $dir failed")
+        deleteRecursively(stash)
+      }
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   def bands(spark: org.apache.spark.sql.SparkSession, workDir: String,
             cfg: DedupConfig): DataFrame =
     spark.read.parquet(bandsDir(workDir, cfg))

@@ -120,6 +120,20 @@ class ResumeStreamingAnnSpec extends SparkSpecBase {
       .except(rebanded.select("id", "band_key")).count() == 0)
     assert(bandStore.groupBy("id").count()
       .where(col("count") =!= cfg.bands).count() == 0)
+    // small-files compaction: identical content, fewer files
+    def nFiles(dir: String): Int = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    val pairDir = s"$workDir/pairs_stream/tag=${cfg.configTag}"
+    val sigFilesBefore = nFiles(s"$workDir/signatures_stream/tag=${cfg.configTag}")
+    val bandRowsBefore = bandStore.count() // materialize before the swap
+    IncrementalIngest.compactStores(spark, workDir, cfg)
+    assert(nFiles(s"$workDir/signatures_stream/tag=${cfg.configTag}") <= sigFilesBefore)
+    assert(nFiles(pairDir) > 0)
+    val streamedAfter = IncrementalIngest.pairs(spark, workDir, cfg)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamedAfter == batch)
+    assert(IncrementalIngest.bands(spark, workDir, cfg).count() == bandRowsBefore)
   }
 
   test("ANN: SRP-LSH recall vs brute force on labeled embeddings") {
