@@ -94,6 +94,19 @@ object Expressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** normalized text -> winnowing fingerprint hashes (array<long>). */
+  case class WinnowHashes(child: Expression, w: Int, p: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.winnowHashes(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w, p)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.winnowHashes($c, $w, $p)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Signed-random-projection sign-bit signature of a float embedding. */
   case class SrpSig(child: Expression, bits: Int, table: Int)
       extends UnaryExpression {
@@ -122,4 +135,6 @@ object Expressions {
   def jaccardSets(a: Column, b: Column): Column =
     GraftGlue.column(
       JaccardLongSets(GraftGlue.expression(a), GraftGlue.expression(b)))
+  def winnowHashes(text: Column, w: Int, p: Int): Column =
+    GraftGlue.column(WinnowHashes(GraftGlue.expression(text), w, p))
 }

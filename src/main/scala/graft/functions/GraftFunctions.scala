@@ -44,5 +44,7 @@ object GraftFunctions {
       es => Expressions.CosineSim(es.head, es(1)))
     register(spark, "srp_sig", 3,
       es => Expressions.SrpSig(es.head, intArg(es(1)), intArg(es(2))))
+    register(spark, "winnow_hashes", 3,
+      es => Expressions.WinnowHashes(es.head, intArg(es(1)), intArg(es(2))))
   }
 }

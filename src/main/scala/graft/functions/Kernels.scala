@@ -162,6 +162,47 @@ object Kernels {
     sig
   }
 
+  /** Winnowing fingerprints straight from the text bytes — semantics
+    * identical to the HOF formulation
+    * `array_distinct(filter(transform(sequence(1, len-w+1),
+    * i => xxhash64(substr(text, i, w))), h => pmod(h, p) == 0))`
+    * but one kernel call per row instead of an interpreted expression
+    * tree per CHARACTER (the HOF path measured ~30x slower). w-grams are
+    * measured in characters (UTF-8 aware, zero-copy byte spans); hashes
+    * are xxhash64 seed 42 of the exact substring bytes, sampled where
+    * pmod(h, p) == 0, distinct in first-occurrence order.
+    */
+  def winnowHashes(text: org.apache.spark.unsafe.types.UTF8String,
+                   w: Int, p: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    // char start offsets (UTF-8 step), terminated by n
+    val offs = new scala.collection.mutable.ArrayBuffer[Int](math.min(n + 1, 4096))
+    var i = 0
+    while (i < n) {
+      offs += i
+      i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    offs += n
+    val nChars = offs.length - 1
+    if (nChars < w) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var c = 0
+    while (c + w <= nChars) {
+      val from = offs(c)
+      val h = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+        offs(c + w) - from, 42L)
+      if (java.lang.Math.floorMod(h, p.toLong) == 0L) seen.add(h)
+      c += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Exact Jaccard of two long-array SETS (inputs must be distinct;
     * order free). Hash-probe on the smaller side.
     */

@@ -153,8 +153,18 @@ object TextFunctions {
 
   /** Rolling-hash winnowing fingerprints: hashes of char w-grams sampled
     * where hash % p == 0 (content-defined sampling — robust to shifts).
+    * Kernel-backed (one codegen'd call per row): the equivalent
+    * higher-order-function tree evaluates interpreted PER CHARACTER and
+    * measured ~30x slower (see `winnowFingerprintsHof`, kept as the
+    * bit-equality oracle).
     */
-  def winnowFingerprints(text: Column, w: Int, p: Int): Column = {
+  def winnowFingerprints(text: Column, w: Int, p: Int): Column =
+    Expressions.winnowHashes(normalizeText(text), w, p)
+
+  /** Built-in-only formulation of winnowFingerprints — the semantic
+    * oracle the kernel is bit-equality-tested against.
+    */
+  def winnowFingerprintsHof(text: Column, w: Int, p: Int): Column = {
     val n = normalizeText(text)
     val grams = when(length(n) < w, array()).otherwise(
       transform(sequence(lit(1), length(n) - w + 1),

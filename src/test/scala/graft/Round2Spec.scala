@@ -236,6 +236,27 @@ class Round2Spec extends SparkSpecBase {
     assert(lens.where(col("text_len") =!= col("want")).count() == 0)
   }
 
+  test("winnow kernel bit-equals the built-in HOF formulation (incl. unicode)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog and runs far away",
+      "short",
+      "",
+      "exact window edge", // length near w
+      "uñicode 中文 mixed bytes ok here too yes", // multi-byte chars
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaa" // repeated grams -> distinct matters
+    ).toDF("text")
+    Seq((8, 4), (4, 2), (12, 8)).foreach { case (w, p) =>
+      val got = docs.select(
+        TextFunctions.winnowFingerprints(col("text"), w, p).as("a"),
+        TextFunctions.winnowFingerprintsHof(col("text"), w, p).as("b"))
+        .collect()
+      got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"kernel/HOF mismatch at w=$w p=$p"))
+    }
+  }
+
   test("multimodal: real image-header decode (png/gif/bmp/jpeg) with stub fallback") {
     import graft.multimodal.BinaryPipeline
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
