@@ -28,6 +28,24 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(Dedup.shingleSets(docs, cfg).count() == 1)
   }
 
+  test("null / whitespace-only text: pipeline drops the rows, no errors (failed-extraction rows at scale)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq[(java.lang.Long, String)](
+      (1L, null), (2L, "   "), (3L, ""),
+      (4L, "real text with enough tokens to shingle properly here"),
+      (5L, "real text with enough tokens to shingle properly here"))
+      .toDF("id", "text")
+    val pairs = Dedup.pairs(docs, cfg)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((4L, 5L)))
+    // exact dedup: null text hashes to null, grouped but harmless
+    assert(Dedup.exactDuplicates(docs).count() >= 2)
+    // text analysis stays total on nulls
+    val q = docs.select(graft.functions.TextFunctions.qualityScore(col("text")))
+    assert(q.count() == 5)
+  }
+
   test("all-identical corpus: one hot band bucket, complete clique, one cluster") {
     val spark2 = spark
     import spark2.implicits._
