@@ -17,8 +17,8 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 object MakeFixtures {
   /** Queries pinned by fixture, with the sf dir the driver verifies at. */
   val fixtureQueries: Seq[String] =
-    Seq("q_simhash_pairs", "q_doc_fingerprints", "q_ann_srp", "q_html_meta",
-      "q_lang_id", "q_winnow_fp")
+    Seq("q_simhash_pairs", "q_doc_fingerprints", "q_ann_srp", "q_ann_ivf",
+      "q_html_meta", "q_lang_id", "q_winnow_fp")
   val sfDir = "/root/testdata/sf0.01"
 
   def main(args: Array[String]): Unit = {

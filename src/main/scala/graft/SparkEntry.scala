@@ -202,6 +202,14 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"), col("rank"))
     }),
+    // IVF multi-probe ANN (the second scale path; deterministic
+    // driver-trained quantizer -> fixture oracle)
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = embeddings(s, dir).select(col("vec_id").as("id"), col("embedding"))
+      Embeddings.ivfTopK(e, k = 5, nCells = 8, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+    }),
     // --- incremental-window / streaming-shaped queries ------------------
     "q_events_window" -> ((s, dir) =>
       graft.streaming.IncrementalIngest.windowedCounts(events(s, dir), "ts", "1 hour")
@@ -339,6 +347,8 @@ object SparkEntry {
       "SELECT doc_id, fp64 FROM '/root/repo/fixtures/q_doc_fingerprints.parquet'",
     "q_ann_srp" ->
       "SELECT query_id, neighbor_id, cosine, rank FROM '/root/repo/fixtures/q_ann_srp.parquet'",
+    "q_ann_ivf" ->
+      "SELECT query_id, neighbor_id, cosine, rank FROM '/root/repo/fixtures/q_ann_ivf.parquet'",
     "q_html_meta" ->
       "SELECT * FROM '/root/repo/fixtures/q_html_meta.parquet'",
     "q_lang_id" ->

@@ -96,6 +96,86 @@ object Embeddings {
     * exact cosine + window top-k within candidates. Recall grows with
     * tables and shrinks with bits; property-tested in AnnSpec.
     */
+  /** Train an IVF coarse quantizer: deterministic bounded sample (first
+    * `sampleCap` rows by xxhash64(id) order — stable under any
+    * partitioning) collected to the driver, Lloyd iterations run
+    * SEQUENTIALLY there so centroids are bit-reproducible (a distributed
+    * float mean is partition-order-dependent in its last ulp, which
+    * would make cell assignments of boundary vectors nondeterministic).
+    * Driver memory is sampleCap*dim floats — the same bounded-broadcast
+    * pattern as the hot-band key set. Empty cells respawn on the point
+    * farthest from its centroid.
+    */
+  def trainIvfCentroids(emb: DataFrame, nCells: Int, iters: Int = 5,
+                        sampleCap: Int = 10000): Array[Array[Float]] = {
+    val sample = emb.select(col("id"), col("embedding"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleCap)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "IVF training needs a non-empty corpus")
+    val dim = sample.head.length
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    var cents = Array.tabulate(math.min(nCells, sample.length))(i =>
+      sample(i).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Int](cents.length)
+      var worst = (-1, 2.0) // (sample idx of farthest point, its sim)
+      sample.zipWithIndex.foreach { case (v, si) =>
+        var best = 0; var bestSim = -2.0
+        var c = 0
+        while (c < cents.length) {
+          val s = cos(v, cents(c))
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        if (bestSim < worst._2) worst = (si, bestSim)
+        counts(best) += 1
+        var d = 0
+        while (d < dim) { sums(best)(d) += v(d); d += 1 }
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) sample(worst._1).clone() // respawn empty cell
+        else Array.tabulate(dim)(d => (sums(c)(d) / counts(c)).toFloat)
+      }.toArray
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF ANN: coarse-quantize every vector to its nearest cell, probe
+    * the `nProbe` nearest cells per query (multi-probe recovers
+    * cell-boundary neighbors), exact cosine + top-k within the probed
+    * cells. The cell join is the same keyed-bucket shape as the LSH
+    * paths; candidate volume scales with n²/nCells instead of n².
+    */
+  def ivfTopK(emb: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 2,
+              iters: Int = 5, sampleCap: Int = 10000): DataFrame = {
+    val cents = trainIvfCentroids(emb, nCells, iters, sampleCap)
+    // queries probe nProbe cells; corpus vectors live in their single
+    // nearest cell — candidates = pairs sharing a probed cell
+    val q = emb.select(col("id").as("query_id"), col("embedding").as("qe"),
+      explode(Expressions.nearestCentroids(col("embedding"), cents, nProbe))
+        .as("cell"))
+    val c = emb.select(col("id").as("neighbor_id"), col("embedding").as("ne"),
+      Expressions.nearestCentroids(col("embedding"), cents, 1)(0).as("cell"))
+    val cands = q.join(c, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "qe", "ne")
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosine(col("qe"), col("ne")))
+    topKRanked(cands, k)
+  }
+
   def srpTopK(emb: DataFrame, k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
     val keyed = emb.select(col("id"), col("embedding"),
       explode(array((0 until tables).map(t =>

@@ -107,6 +107,25 @@ object Expressions {
       copy(child = newChild)
   }
 
+  /** float embedding -> indices of the nProbe nearest IVF centroids
+    * (array<long>). Centroids are shipped to generated code as a
+    * reference object, so assignment stays inside whole-stage codegen.
+    */
+  case class NearestCentroids(child: Expression,
+                              centroids: Array[Array[Float]], nProbe: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.nearestCentroids(input.asInstanceOf[ArrayData], centroids, nProbe)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.Kernels.nearestCentroids($c, $ref, $nProbe)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Signed-random-projection sign-bit signature of a float embedding. */
   case class SrpSig(child: Expression, bits: Int, table: Int)
       extends UnaryExpression {
@@ -137,4 +156,6 @@ object Expressions {
       JaccardLongSets(GraftGlue.expression(a), GraftGlue.expression(b)))
   def winnowHashes(text: Column, w: Int, p: Int): Column =
     GraftGlue.column(WinnowHashes(GraftGlue.expression(text), w, p))
+  def nearestCentroids(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
+    GraftGlue.column(NearestCentroids(GraftGlue.expression(v), centroids, nProbe))
 }

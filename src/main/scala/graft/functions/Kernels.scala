@@ -203,6 +203,33 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Indices of the `nProbe` nearest centroids (cosine, descending; tie
+    * -> lower index) for a float-array embedding. Centroids arrive as a
+    * codegen reference object. Used by the IVF coarse quantizer.
+    */
+  def nearestCentroids(v: ArrayData, centroids: Array[Array[Float]],
+                       nProbe: Int): ArrayData = {
+    val n = centroids.length
+    val sims = new Array[Double](n)
+    var c = 0
+    while (c < n) { sims(c) = cosineFloatArr(v, centroids(c)); c += 1 }
+    val order = (0 until n).sortBy(i => (-sims(i), i)).take(math.min(nProbe, n))
+    new GenericArrayData(order.map(_.toLong).toArray)
+  }
+
+  private def cosineFloatArr(a: ArrayData, b: Array[Float]): Double = {
+    val n = math.min(a.numElements(), b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
   /** Exact Jaccard of two long-array SETS (inputs must be distinct;
     * order free). Hash-probe on the smaller side.
     */

@@ -154,6 +154,28 @@ class ResumeStreamingAnnSpec extends SparkSpecBase {
     assert(exact.size == e.count() * 5)
   }
 
+  test("ANN: IVF multi-probe recall vs brute force; deterministic training") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val exact = Embeddings.bruteForceTopK(e, e, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Embeddings.ivfTopK(e, k = 5, nCells = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(s"IVF recall = $recall")
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+    // training is bit-reproducible (driver-sequential Lloyd)
+    val c1 = Embeddings.trainIvfCentroids(e, nCells = 8)
+    val c2 = Embeddings.trainIvfCentroids(e, nCells = 8)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    // every query gets at most k ranked rows with rank 1..k
+    val ranks = Embeddings.ivfTopK(e, k = 5, nCells = 8, nProbe = 4)
+      .groupBy("query_id").agg(max(col("rank")).as("m"), count(lit(1)).as("n"))
+    assert(ranks.where(col("n") > 5 || col("m") > 5).count() == 0)
+  }
+
   test("multimodal plumbing: schema, determinism, partition-preserving batch execution") {
     val spark2 = spark
     import spark2.implicits._
