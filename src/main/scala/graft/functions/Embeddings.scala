@@ -168,10 +168,11 @@ object Embeddings {
         .as("cell"))
     val c = emb.select(col("id").as("neighbor_id"), col("embedding").as("ne"),
       Expressions.nearestCentroids(col("embedding"), cents, 1)(0).as("cell"))
+    // every corpus vector lives in exactly ONE cell, so a (query,
+    // neighbor) pair matches at most once — no dedup exchange needed;
+    // the scored stream goes straight into the map-side partial top-k
     val cands = q.join(c, "cell")
       .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "qe", "ne")
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", cosine(col("qe"), col("ne")))
     topKRanked(cands, k)
   }
@@ -183,11 +184,15 @@ object Embeddings {
         .as("bucket"))
     val l = keyed.select(col("bucket"), col("id").as("query_id"), col("embedding").as("qe"))
     val r = keyed.select(col("bucket"), col("id").as("neighbor_id"), col("embedding").as("ne"))
+    // dedup (a pair shares up to `tables` buckets) AFTER computing the
+    // cosine and dropping the embeddings: the exchange carries 24-byte
+    // rows, not two embedding vectors per row (duplicates have identical
+    // cosine, so keep-any is exact)
     val cands = l.join(r, "bucket")
       .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "qe", "ne")
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", cosine(col("qe"), col("ne")))
+      .select("query_id", "neighbor_id", "cosine")
+      .dropDuplicates("query_id", "neighbor_id")
     topKRanked(cands, k)
   }
 }
