@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * Metadata DECODE is REAL for the standard still-image containers —
   * `decodeImageHeader` parses PNG IHDR, GIF screen descriptors, BMP info
   * headers and JPEG SOF frame headers with pure byte arithmetic (no
-  * codec dependency). PIXEL-level work (frame rasterization, CNN
-  * features) REMAINS A DETERMINISTIC STUB (`featurizeStub` — this
-  * container ships no codecs); unrecognized byte streams also fall back
-  * to the deterministic metadata stub. The Spark-side plumbing is real
+  * codec dependency). PIXEL decode + featurization are REAL for
+  * uncompressed 24-bit BMP (`decodeBmpPixels` -> BT.601 luma ->
+  * `gridLumaFeature` mean-pool grid, the reference's pooled-activation
+  * descriptor shape); compressed formats (jpeg/png/gif pixel data) FALL
+  * BACK TO A DETERMINISTIC STUB (`featurizeStub` — this container ships
+  * no codecs), as do unrecognized byte streams for metadata. The Spark-side plumbing is real
   * and tested: schema contracts, batched per-partition execution (the
   * Scala analog of `mapInPandas` batch shape), partition-count
   * preservation, and explode-based unit decomposition (the reference's
@@ -71,6 +73,88 @@ object BinaryPipeline {
     */
   def decodeMeta(bytes: Array[Byte]): MediaMeta =
     decodeImageHeader(bytes).getOrElse(decodeStub(bytes))
+
+  /** REAL pixel decode for uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    * biCompression=0): returns row-major top-down grayscale luma
+    * (0-255 doubles), or None for any other input. BMP's pixel array is
+    * plain bytes — bottom-up BGR rows padded to 4-byte boundaries — so
+    * this needs no codec, just arithmetic. The one format the whole
+    * decode -> featurize path runs on REAL pixels end-to-end.
+    */
+  def decodeBmpPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    if (bytes == null || bytes.length < 54) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = le16(i) | (le16(i + 2) << 16)
+    if (u8(0) != 'B' || u8(1) != 'M') return None
+    val dataOff = le32(10)
+    val width = le32(18)
+    val heightRaw = le32(22)
+    val bpp = le16(28)
+    val compression = le32(30)
+    if (bpp != 24 || compression != 0 || width <= 0 || heightRaw == 0) return None
+    val height = math.abs(heightRaw)
+    val topDown = heightRaw < 0
+    val stride = ((width * 3 + 3) / 4) * 4
+    if (dataOff.toLong + stride.toLong * height > bytes.length) return None
+    val out = new Array[Double](width * height)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      val base = dataOff + srcRow * stride
+      var x = 0
+      while (x < width) {
+        val b = u8(base + x * 3)
+        val g = u8(base + x * 3 + 1)
+        val r = u8(base + x * 3 + 2)
+        out(y * width + x) = 0.299 * r + 0.587 * g + 0.114 * b // BT.601 luma
+        x += 1
+      }
+      y += 1
+    }
+    Some((width, height, out))
+  }
+
+  /** REAL feature extraction over decoded pixels: `grid`x`grid`
+    * mean-luminance pooling (the classic perceptual-hash/gray-frame
+    * descriptor shape — the reference pools CNN activations the same
+    * way, `loading_utils.py:77-98`). Cells average the pixels whose
+    * coordinates fall in their bin; empty cells (image smaller than the
+    * grid) are 0.
+    */
+  def gridLumaFeature(width: Int, height: Int, luma: Array[Double],
+                      grid: Int = 4): Array[Float] = {
+    val sums = new Array[Double](grid * grid)
+    val counts = new Array[Int](grid * grid)
+    var y = 0
+    while (y < height) {
+      val gy = math.min(y * grid / math.max(height, 1), grid - 1)
+      var x = 0
+      while (x < width) {
+        val gx = math.min(x * grid / math.max(width, 1), grid - 1)
+        val c = gy * grid + gx
+        sums(c) += luma(y * width + x)
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(grid * grid)(c =>
+      if (counts(c) == 0) 0.0f else (sums(c) / counts(c)).toFloat)
+  }
+
+  /** Featurize: REAL pixel path for decodable images (BMP 24bpp),
+    * deterministic stub for everything else (no codecs in this
+    * container for compressed formats).
+    */
+  def featurize(bytes: Array[Byte], frameIdx: Int, dim: Int = 16): Array[Float] =
+    decodeBmpPixels(bytes) match {
+      case Some((w, h, luma)) =>
+        val grid = math.max(1, math.sqrt(dim.toDouble).toInt)
+        val f = gridLumaFeature(w, h, luma, grid)
+        if (f.length == dim) f else java.util.Arrays.copyOf(f, dim)
+      case None => featurizeStub(bytes, frameIdx, dim)
+    }
 
   /** STUB decode: derives plausible metadata purely from the bytes
     * (deterministic). In production this is an image/video codec behind
@@ -135,7 +219,7 @@ object BinaryPipeline {
         it.flatMap { case (id, bytes) =>
           val meta = decodeMeta(bytes)
           (0 until meta.nFrames by stride).iterator.map { f =>
-            Frame(id, f, featurizeStub(bytes, f, dim))
+            Frame(id, f, featurize(bytes, f, dim))
           }
         }
       }

@@ -290,6 +290,42 @@ class Round2Spec extends SparkSpecBase {
     assert(got == Set(("p1", "png", 640, 480), ("g1", "gif", 320, 200)))
   }
 
+  test("multimodal: REAL bmp pixel decode + grid-luma featurization (hand-built image)") {
+    import graft.multimodal.BinaryPipeline
+    // 2x2 24bpp BMP: top row white,black; bottom row red,green.
+    // Rows stored bottom-up, BGR, stride padded to 4 bytes (6 -> 8).
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val header = Array[Byte]('B', 'M') ++ le32(70) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(16) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    assert(header.length == 54)
+    val bottomRow = Array[Byte](0, 0, 255.toByte /* red BGR */ ,
+      0, 255.toByte, 0 /* green */ , 0, 0)
+    val topRow = Array[Byte](255.toByte, 255.toByte, 255.toByte /* white */ ,
+      0, 0, 0 /* black */ , 0, 0)
+    val bmp = header ++ bottomRow ++ topRow
+    val Some((w, h, luma)) = BinaryPipeline.decodeBmpPixels(bmp)
+    assert((w, h) == (2, 2))
+    // top-down luma: white=255, black=0, red=76.245, green=149.685
+    assert(luma(0) == 255.0 && luma(1) == 0.0)
+    assert(math.abs(luma(2) - 76.245) < 1e-9 && math.abs(luma(3) - 149.685) < 1e-9)
+    val f = BinaryPipeline.gridLumaFeature(w, h, luma, grid = 2)
+    assert(f.toSeq == Seq(255.0f, 0.0f, 76.245f, 149.685f))
+    assert(BinaryPipeline.featurize(bmp, 0, dim = 4).toSeq == f.toSeq)
+    // non-BMP bytes keep the deterministic stub path
+    val junk = Array.tabulate[Byte](64)(i => (i % 113).toByte)
+    assert(BinaryPipeline.featurize(junk, 0, 8).toSeq ==
+      BinaryPipeline.featurizeStub(junk, 0, 8).toSeq)
+    // and the Dataset operator carries the real feature through
+    val spark2 = spark
+    import spark2.implicits._
+    val frames = BinaryPipeline.sampleAndFeaturize(
+      Seq(("img1", bmp)).toDF("id", "bytes"), stride = 1, dim = 4).collect()
+    assert(frames.length == 1 && frames.head.feature.toSeq == f.toSeq)
+  }
+
   test("suffix-array containment: one SA per hay doc, semantics unchanged") {
     val spark2 = spark
     import spark2.implicits._
