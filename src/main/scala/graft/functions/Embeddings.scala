@@ -23,30 +23,73 @@ object Embeddings {
   def srpSignature(v: Column, bits: Int, table: Int): Column =
     Expressions.srpSig(v, bits, table)
 
-  /** Brute-force exact top-k cosine neighbors for each query row.
-    * queries and corpus share schema (id, embedding). The corpus side is
-    * broadcast when small; at scale use block-nested loops via
-    * repartitioned crossJoin (Spark handles via
-    * CartesianProduct/BroadcastNestedLoopJoin).
-    *
-    * The O(|q|*|c|) scored stream is reduced IN PLACE per partition
-    * (map-side partial top-k) before the final exact rank: each task
-    * emits at most k rows per query it saw, plus cosine ties at the
-    * boundary — exclusion is safe under any tie-break because an
-    * excluded row is strictly worse than k rows of the same partition.
-    * Only the tiny partial survives the exchange; the old plan shuffled
-    * the full cross product into a window.
+  /** Brute-force exact top-k cosine neighbors for each query row —
+    * the exactness BASELINE, mirroring the reference's in-memory k-NN
+    * over all signatures (`generate_matches.py:57-62` builds one
+    * kd-tree from the full signature matrix): the corpus side is
+    * collected and BROADCAST, queries stream through a per-partition
+    * kernel loop that emits only each query's top-k (plus cosine
+    * boundary ties), and a final window assigns exact ranks. No n²-row
+    * join output ever materializes and nothing but the k-sliver crosses
+    * an exchange. Contract: the corpus must fit in executor memory
+    * (identical to the reference's kd-tree); beyond that use the scale
+    * paths (`srpTopK` / `ivfTopK`).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.{Encoders, Row}
-    val q = queries.select(col("id").as("query_id"), col("embedding").as("qe"))
-    val c = corpus.select(col("id").as("neighbor_id"), col("embedding").as("ne"))
-    val scored = q.crossJoin(c)
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qe"), col("ne")))
-      .select("query_id", "neighbor_id", "cosine")
-    topKRanked(scored, k)
+    import org.apache.spark.sql.types._
+    val spark = queries.sparkSession
+    val corpusRows = corpus.select(col("id"), col("embedding")).collect()
+    val cIds = corpusRows.map(_.get(0))
+    val cVecs = corpusRows.map(_.getSeq[Float](1).toArray)
+    val bc = spark.sparkContext.broadcast((cIds, cVecs))
+    val qdf = queries.select(col("id").as("query_id"), col("embedding"))
+    val outSchema = StructType(Seq(
+      StructField("query_id", qdf.schema("query_id").dataType),
+      StructField("neighbor_id", corpus.schema("id").dataType),
+      StructField("cosine", DoubleType)))
+    val partial = qdf.mapPartitions { it =>
+      val (ids, vecs) = bc.value
+      it.flatMap { r =>
+        val qid = r.get(0)
+        val q = r.getSeq[Float](1).toArray
+        val n = vecs.length
+        if (n == 0) Iterator.empty
+        else {
+          val sims = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            sims(i) = if (qid == ids(i)) Double.NegativeInfinity // self
+            else cosArr(q, vecs(i))
+            i += 1
+          }
+          val order = (0 until n).filter(sims(_) > Double.NegativeInfinity)
+            .sortBy(i => -sims(i))
+          val kept =
+            if (order.length <= k) order
+            else {
+              val cut = sims(order(k - 1))
+              order.takeWhile(sims(_) >= cut) // top-k plus boundary ties
+            }
+          kept.iterator.map(i => Row(qid, ids(i), sims(i)))
+        }
+      }
+    }(Encoders.row(outSchema))
+    topKRanked(partial, k)
+  }
+
+  private def cosArr(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    // same operation order as Kernels.cosineSim — results must be
+    // bit-identical to the expression path (oracle parity)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Exact per-query top-k rank over scored(query_id, neighbor_id,
