@@ -25,6 +25,14 @@ class SqlFunctionsSpec extends SparkSpecBase {
       Expressions.simhash64(Expressions.shingleHashes(col("text"), 3)).as("sh"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSet
     assert(viaSql == viaApi)
+    // winnow_hashes (round 2): SQL path equals the kernel column API
+    val wSql = spark.sql(
+      "SELECT id, winnow_hashes(lower(text), 8, 4) AS fp FROM d")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    val wApi = docs.select(col("id"),
+      Expressions.winnowHashes(lower(col("text")), 8, 4).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(wSql == wApi)
   }
 
   test("full LSH pair query expressible in pure SQL matches Dedup.pairs") {
