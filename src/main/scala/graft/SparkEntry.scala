@@ -86,8 +86,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- dedup core -----------------------------------------------------
     "q_minhash_lsh_pairs" -> ((s, dir) => pairsOut(pairsFor(s, dir))),
+    // prefix-filtered (PPJoin-family) exact join: same pair set as the
+    // plain inverted-index join (equality-tested), hot-shingle safe
     "q_ngram_jaccard_pairs" -> ((s, dir) =>
-      pairsOut(Dedup.exactJaccardPairs(docs(s, dir), cfg))),
+      pairsOut(Dedup.exactJaccardPairsPrefix(docs(s, dir), cfg))),
     "q_dup_clusters" -> ((s, dir) =>
       Dedup.clusters(pairsFor(s, dir))
         .select(col("id").as("doc_id"), col("cluster_id"))),
@@ -108,7 +110,7 @@ object SparkEntry {
     }),
     // suffix-array exact-substring pass over low-threshold candidates
     "q_substring_containment" -> ((s, dir) => {
-      val cands = Dedup.exactJaccardPairs(docs(s, dir), cfg.copy(threshold = 0.3))
+      val cands = Dedup.exactJaccardPairsPrefix(docs(s, dir), cfg.copy(threshold = 0.3))
       ExactSubstring.containmentPairs(cands, docs(s, dir))
         .select(col("id_a").cast("long").as("doc_id_a"),
           col("id_b").cast("long").as("doc_id_b"), col("contained"))

@@ -343,4 +343,34 @@ class Round2Spec extends SparkSpecBase {
       ("1", "2") -> true, ("1", "3") -> false, ("1", "4") -> true,
       ("2", "3") -> false, ("5", "6") -> false))
   }
+
+  test("prefix-filtered exact Jaccard: identical pair set, fewer candidates on boilerplate skew") {
+    // boilerplate-heavy fixture: the hot shared shingles are exactly what
+    // the plain inverted-index join degenerates on
+    val (skewed, _) = SynthCorpus.generate(spark, seed = 11L, nBase = 300,
+      dupRate = 0.15, skewBoilerplate = true)
+    val docs = Dedup.fromPages(skewed).localCheckpoint(true)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val full = pairSet(Dedup.exactJaccardPairs(docs, cfg))
+    assert(pairSet(Dedup.exactJaccardPairsPrefix(docs, cfg)) == full)
+    assert(full.nonEmpty)
+    // and at the low containment threshold used by the substring pass
+    val low = cfg.copy(threshold = 0.3)
+    assert(pairSet(Dedup.exactJaccardPairsPrefix(docs, low)) ==
+      pairSet(Dedup.exactJaccardPairs(docs, low)))
+    // pruning evidence: candidate volume strictly below the complete
+    // inverted-index candidate volume (shared-shingle pairs)
+    val shingled = Dedup.shingleSets(docs, cfg)
+    val sh = shingled.select(col("id"), explode(col("shingles")).as("h"))
+    val fullCands = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id")).distinct().count()
+    val prefCands = Dedup.prefixCandidates(shingled, cfg).count()
+    assert(prefCands < fullCands,
+      s"prefix filter should prune: $prefCands vs $fullCands")
+    assert(prefCands <= fullCands / 2,
+      s"expected substantial pruning on the boilerplate fixture: $prefCands vs $fullCands")
+  }
 }
