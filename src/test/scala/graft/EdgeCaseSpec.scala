@@ -16,6 +16,7 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(Dedup.pairs(docs, cfg).count() == 0)
     assert(Dedup.clusters(Dedup.pairs(docs, cfg)).count() == 0)
     assert(Dedup.exactJaccardPairs(docs, cfg).count() == 0)
+    assert(Dedup.exactJaccardPairsPrefix(docs, cfg).count() == 0)
   }
 
   test("single doc and too-short docs: no self-pairs, short docs dropped") {

@@ -373,4 +373,32 @@ class Round2Spec extends SparkSpecBase {
     assert(prefCands <= fullCands / 2,
       s"expected substantial pruning on the boilerplate fixture: $prefCands vs $fullCands")
   }
+
+  test("prefix filter completeness (property): random corpora x thresholds match brute force") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(4242L)
+    // tiny vocabulary forces heavy shingle overlap — worst case for a
+    // buggy prefix bound (qualifying pairs whose shared shingles are all
+    // near the hot end of the frequency order)
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h")
+    for (trial <- 0 until 6) {
+      val tau = Seq(0.3, 0.5, 0.7)(trial % 3)
+      val n = 12 + rnd.nextInt(12)
+      val docsSeq = (1 to n).map { i =>
+        val len = 3 + rnd.nextInt(10)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val docs = docsSeq.toDF("id", "text")
+      val c = cfg.copy(threshold = tau)
+      def ps(df: org.apache.spark.sql.DataFrame) =
+        df.select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = ps(Dedup.exactJaccardPairs(docs, c))
+      val got = ps(Dedup.exactJaccardPairsPrefix(docs, c))
+      assert(got == expect,
+        s"trial=$trial tau=$tau n=$n: prefix=${got.size} brute=${expect.size} " +
+          s"missing=${expect -- got} extra=${got -- expect}")
+    }
+  }
 }
