@@ -82,6 +82,24 @@ object SparkEntry {
        |clusters AS (SELECT a AS doc_id, least(min(b), a) AS cluster_id
        |             FROM reach GROUP BY a)""".stripMargin
 
+  /** DuckDB expression mirroring TextFunctions.qualityScore over a
+    * `text` column — same arithmetic, same operand order, round(.,6).
+    */
+  private val qualitySql: String =
+    """round((
+      |  least(len(text)/200.0, 1.0) +
+      |  (CASE WHEN len(text) = 0 THEN 0.0
+      |        ELSE len(regexp_replace(text, '[^\p{L}]', '', 'g'))*1.0/len(text) END) +
+      |  (CASE WHEN list_has_any(string_split_regex(lower(text), '\s+'),
+      |        ['the','a','an','and','or','of','to','in','is','it'])
+      |        THEN 1.0 ELSE 0.0 END) +
+      |  (CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0
+      |              ELSE len(string_split_regex(trim(text), '\s+')) END) = 0 THEN 0.5
+      |        WHEN len(text)*1.0/len(string_split_regex(trim(text), '\s+'))
+      |             BETWEEN 3.0 AND 12.0 THEN 1.0
+      |        ELSE 0.5 END)
+      |) / 4.0, 6)""".stripMargin
+
   /** One per implemented operator from SURVEY.md §2 (+ training-data ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- dedup core -----------------------------------------------------
@@ -180,6 +198,14 @@ object SparkEntry {
     "q_quality_score" -> ((s, dir) =>
       documents(s, dir).select(col("doc_id"),
         graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))),
+    // dedup decision: per-cluster canonical doc (keep best quality,
+    // ties -> min id); singletons kept — the curated-corpus output
+    "q_dedup_keep_list" -> ((s, dir) =>
+      Dedup.keepList(docs(s, dir),
+          Dedup.clusters(pairsFor(s, dir)),
+          graft.functions.TextFunctions.qualityScore(col("text")))
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          col("quality"), col("kept"))),
     // n-gram-heuristic language ID (fixture oracle: argmax-over-profiles
     // is not cleanly DuckDB-expressible; semantics unit-tested)
     "q_lang_id" -> ((s, dir) =>
@@ -360,19 +386,15 @@ object SparkEntry {
     // same arithmetic, same operand order, round(.,6) both engines;
     // \p{L} supported by both Java regex and RE2
     "q_quality_score" ->
-      ("""SELECT doc_id, round((
-         |  least(len(text)/200.0, 1.0) +
-         |  (CASE WHEN len(text) = 0 THEN 0.0
-         |        ELSE len(regexp_replace(text, '[^\p{L}]', '', 'g'))*1.0/len(text) END) +
-         |  (CASE WHEN list_has_any(string_split_regex(lower(text), '\s+'),
-         |        ['the','a','an','and','or','of','to','in','is','it'])
-         |        THEN 1.0 ELSE 0.0 END) +
-         |  (CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0
-         |              ELSE len(string_split_regex(trim(text), '\s+')) END) = 0 THEN 0.5
-         |        WHEN len(text)*1.0/len(string_split_regex(trim(text), '\s+'))
-         |             BETWEEN 3.0 AND 12.0 THEN 1.0
-         |        ELSE 0.5 END)
-         |) / 4.0, 6) AS quality FROM documents""".stripMargin),
+      s"SELECT doc_id, $qualitySql AS quality FROM documents",
+    "q_dedup_keep_list" ->
+      (s"WITH RECURSIVE $clustersCte, " +
+        s"q AS (SELECT doc_id, $qualitySql AS quality FROM documents), " +
+        "assigned AS (SELECT q.doc_id, coalesce(c.cluster_id, q.doc_id) AS cluster_id, q.quality " +
+        "             FROM q LEFT JOIN clusters c ON c.doc_id = q.doc_id) " +
+        "SELECT doc_id, cluster_id, quality, " +
+        "  (row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC) = 1) AS kept " +
+        "FROM assigned"),
     "q_minhash_lsh_pairs" ->
       s"WITH $pairsCte SELECT doc_id_a, doc_id_b, jaccard FROM pairs",
     "q_ngram_jaccard_pairs" ->

@@ -298,6 +298,32 @@ object Dedup {
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
       .select(col("id"), col("component").as("cluster_id"))
 
+  /** Dedup decision: per-cluster canonical-document selection — the
+    * pipeline's actual OUTPUT for training-data curation (reference
+    * keeps one representative per duplicate group, keeper = min id,
+    * `winnow/duplicate_detection/duplicate_detector.py:28-34`; here the
+    * keeper is the highest-quality member, ties by min id). Docs outside
+    * any pair are singleton clusters and trivially kept.
+    *
+    * Scale shape: one left join on doc id (uniform), one window
+    * partitioned by cluster_id (cluster sizes are near-dup group sizes —
+    * bounded; a pathological mega-cluster is a data bug surfaced by
+    * q_cluster_sizes, not a plan hazard).
+    *
+    * @param docs     (id, text, ...) document table
+    * @param clusters (id, cluster_id) from [[clusters]]
+    * @param quality  scoring column evaluated over `docs`
+    */
+  def keepList(docs: DataFrame, clusters: DataFrame, quality: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col("id"), quality.as("quality"))
+      .join(clusters.select(col("id"), col("cluster_id")), Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+      .withColumn("kept",
+        row_number().over(Window.partitionBy("cluster_id")
+          .orderBy(col("quality").desc, col("id").asc)) === 1)
+  }
+
   /** Exact duplicate detection: group by fingerprint of normalized text
     * (hash-groupBy exact dedup; reference sha256 identity
     * `winnow/utils/utils.py:163-173`).

@@ -374,6 +374,28 @@ class Round2Spec extends SparkSpecBase {
       s"expected substantial pruning on the boilerplate fixture: $prefCands vs $fullCands")
   }
 
+  test("keepList: best-quality doc kept per cluster, singletons kept, ties by min id") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "short"),                                   // cluster {1,2,3}
+      (2L, "the quick brown fox jumps over the lazy dog and keeps running"),
+      (3L, "the quick brown fox jumps over the lazy dog and keeps"),
+      (4L, "lonely singleton document with the usual words"), // singleton
+      (5L, "x"), (6L, "x")                             // cluster {5,6}: equal quality -> min id kept
+    ).toDF("id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "cluster_id")
+    val got = Dedup.keepList(docs, clusters,
+        graft.functions.TextFunctions.qualityScore(col("text")))
+      .select("id", "cluster_id", "kept")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(4L) == (4L, true), "singleton keeps itself")
+    assert(got(5L) == (5L, true) && got(6L) == (5L, false), "tie -> min id")
+    // exactly one keeper in cluster 1, and it's the longest/richest doc (2)
+    assert(got(2L)._2 && !got(1L)._2 && !got(3L)._2)
+  }
+
   test("prefix filter completeness (property): random corpora x thresholds match brute force") {
     val spark2 = spark
     import spark2.implicits._
