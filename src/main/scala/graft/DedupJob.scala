@@ -50,13 +50,16 @@ object DedupJob {
     val nClusters = clusters.select("cluster_id").distinct().count()
     val nMembers = clusters.count()
     val nDocs = docs.count()
+    // curated-corpus output: one quality-ranked keeper per cluster
+    val keep = ResumableDedupJob.keepStage(docs, clusters, cfg, workDir)
+    val nKept = keep.where(col("kept")).count()
 
     val store = new CheckpointStore(spark, workDir)
     store.metrics().show(truncate = false)
     val wall = (System.currentTimeMillis() - t0) / 1000.0
     println(
       s"""{"job":"graft-dedup","config_tag":"${cfg.configTag}","docs":$nDocs,""" +
-        s""""cluster_members":$nMembers,"clusters":$nClusters,""" +
+        s""""cluster_members":$nMembers,"clusters":$nClusters,"kept":$nKept,""" +
         s""""wall_sec":$wall,"docs_per_sec":${nDocs / wall}}""")
     spark.stop()
   }

@@ -117,6 +117,20 @@ object ResumableDedupJob {
     Dedup.verifiedPairs(cands, shingled, cfg)
   }
 
+  /** Keep-list stage: the curated-corpus decision table (one kept doc
+    * per cluster, quality-ranked — [[Dedup.keepList]]), written durable
+    * and tag-stamped like every other stage artifact.
+    */
+  def keepStage(docs: DataFrame, clusters: DataFrame, cfg: DedupConfig,
+                workDir: String): DataFrame = {
+    val keep = Dedup.keepList(docs,
+      clusters.select(col("id"), col("cluster_id")),
+      graft.functions.TextFunctions.qualityScore(col("text")))
+    val dir = s"$workDir/keep/tag=${cfg.configTag}"
+    keep.write.mode(SaveMode.Overwrite).parquet(dir)
+    docs.sparkSession.read.parquet(dir)
+  }
+
   /** Full resumable run: signatures (bucket-checkpointed) -> pairs ->
     * clusters, with pairs/clusters written once and stamped by tag.
     */

@@ -74,6 +74,21 @@ class Round2Spec extends SparkSpecBase {
     // with the plain cold branch
     val plan = stage.queryExecution.executedPlan.toString
     assert(plan.contains("Union"), s"expected hot/cold union in plan:\n${plan.take(800)}")
+    // keep stage: durable curated-corpus decision — every doc present,
+    // exactly one keeper per cluster, singletons keep themselves
+    val clustersDf = spark.read
+      .parquet(s"$workDir/clusters/tag=${cfg.configTag}")
+    val keep = ResumableDedupJob.keepStage(docs, clustersDf, cfg, workDir)
+    assert(keep.count() == docs.count())
+    val perCluster = keep.groupBy("cluster_id")
+      .agg(sum(when(col("kept"), 1).otherwise(0)).as("keepers"))
+    assert(perCluster.where(col("keepers") =!= 1).count() == 0,
+      "every cluster must have exactly one keeper")
+    val clustered = clustersDf.select("id").distinct().count()
+    val kept = keep.where(col("kept")).count()
+    val singletons = docs.count() - clustered
+    assert(kept == singletons +
+      clustersDf.select("cluster_id").distinct().count())
   }
 
   test("listByMatchCount: top-k plan (no single-partition window), offset slices") {
