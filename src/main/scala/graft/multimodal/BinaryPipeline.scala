@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * `decodeImageHeader` parses PNG IHDR, GIF screen descriptors, BMP info
   * headers and JPEG SOF frame headers with pure byte arithmetic (no
   * codec dependency). PIXEL decode + featurization are REAL for
-  * uncompressed 24-bit BMP (`decodeBmpPixels` -> BT.601 luma ->
-  * `gridLumaFeature` mean-pool grid, the reference's pooled-activation
-  * descriptor shape); compressed formats (jpeg/png/gif pixel data) FALL
-  * BACK TO A DETERMINISTIC STUB (`featurizeStub` — this container ships
-  * no codecs), as do unrecognized byte streams for metadata. The Spark-side plumbing is real
+  * uncompressed 24-bit BMP (`decodeBmpPixels`) AND 8-bit non-interlaced
+  * PNG (`decodePngPixels`: chunk walk -> zlib inflate -> spec unfilters)
+  * -> BT.601 luma -> `gridLumaFeature` mean-pool grid (the reference's
+  * pooled-activation descriptor shape); remaining formats (jpeg/gif
+  * pixel data, video) FALL BACK TO A DETERMINISTIC STUB
+  * (`featurizeStub` — this container ships no codecs), as do
+  * unrecognized byte streams for metadata. The Spark-side plumbing is real
   * and tested: schema contracts, batched per-partition execution (the
   * Scala analog of `mapInPandas` batch shape), partition-count
   * preservation, and explode-based unit decomposition (the reference's
@@ -115,6 +117,115 @@ object BinaryPipeline {
     Some((width, height, out))
   }
 
+  /** REAL pixel decode for PNG (8-bit depth, non-interlaced, color
+    * types 0=gray / 2=rgb / 4=gray+alpha / 6=rgba): pure JVM — chunk
+    * walk, IDAT concat, zlib inflate (`java.util.zip.Inflater`),
+    * per-scanline unfilter (None/Sub/Up/Average/Paeth per the PNG
+    * spec), then BT.601 luma (gray passthrough for types 0/4). Returns
+    * row-major top-down luma like [[decodeBmpPixels]]; None for any
+    * unsupported layout (16-bit, palette, interlaced) or corrupt
+    * stream — callers fall back to the stub.
+    */
+  def decodePngPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    if (bytes == null || bytes.length < 45) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+    var s = 0
+    while (s < 8) { if (u8(s) != sig(s)) return None; s += 1 }
+    var i = 8
+    var width = 0; var height = 0; var bitDepth = 0; var colorType = 0
+    var interlace = 0; var seenIhdr = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && i + 8 <= bytes.length) {
+      val len = be32(i)
+      val dataStart = i + 8
+      if (len < 0 || dataStart.toLong + len + 4 > bytes.length) return None
+      val typ = new String(bytes, i + 4, 4, "US-ASCII")
+      typ match {
+        case "IHDR" =>
+          if (len < 13) return None
+          width = be32(dataStart); height = be32(dataStart + 4)
+          bitDepth = u8(dataStart + 8); colorType = u8(dataStart + 9)
+          if (u8(dataStart + 10) != 0 || u8(dataStart + 11) != 0) return None
+          interlace = u8(dataStart + 12); seenIhdr = true
+        case "IDAT" => idat.write(bytes, dataStart, len)
+        case "IEND" => done = true
+        case _ => // ancillary chunk, skip
+      }
+      i = dataStart + len + 4
+    }
+    if (!seenIhdr || interlace != 0 || bitDepth != 8) return None
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => return None
+    }
+    // bound decoded size (64M pixels) — a forged IHDR must not OOM an executor
+    if (width <= 0 || height <= 0 || width.toLong * height > (1L << 26)) return None
+    val rowBytes = width * channels
+    val raw = new Array[Byte]((rowBytes + 1) * height)
+    val inflater = new java.util.zip.Inflater()
+    try {
+      inflater.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+          return None // truncated / preset-dictionary stream
+        off += n
+      }
+      if (off < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inflater.end()
+    // unfilter scanlines (filter byte precedes each row)
+    val img = new Array[Int](rowBytes * height)
+    val bpp = channels
+    var y = 0
+    while (y < height) {
+      val filter = raw((rowBytes + 1) * y) & 0xff
+      val src = (rowBytes + 1) * y + 1
+      var x = 0
+      while (x < rowBytes) {
+        val cur = raw(src + x) & 0xff
+        val a = if (x >= bpp) img(y * rowBytes + x - bpp) else 0
+        val b = if (y > 0) img((y - 1) * rowBytes + x) else 0
+        val c = if (x >= bpp && y > 0) img((y - 1) * rowBytes + x - bpp) else 0
+        val v = filter match {
+          case 0 => cur
+          case 1 => cur + a
+          case 2 => cur + b
+          case 3 => cur + (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return None
+        }
+        img(y * rowBytes + x) = v & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Double](width * height)
+    var p = 0
+    while (p < width * height) {
+      val base = p * channels
+      out(p) = colorType match {
+        case 0 | 4 => img(base).toDouble // gray (alpha ignored for luma)
+        case _ => 0.299 * img(base) + 0.587 * img(base + 1) + 0.114 * img(base + 2)
+      }
+      p += 1
+    }
+    Some((width, height, out))
+  }
+
+  /** Pixel decode across the real-decode formats (24bpp BMP, 8-bit
+    * non-interlaced PNG); None -> stub fallback.
+    */
+  def decodePixels(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] =
+    decodeBmpPixels(bytes).orElse(decodePngPixels(bytes))
+
   /** REAL feature extraction over decoded pixels: `grid`x`grid`
     * mean-luminance pooling (the classic perceptual-hash/gray-frame
     * descriptor shape — the reference pools CNN activations the same
@@ -143,12 +254,12 @@ object BinaryPipeline {
       if (counts(c) == 0) 0.0f else (sums(c) / counts(c)).toFloat)
   }
 
-  /** Featurize: REAL pixel path for decodable images (BMP 24bpp),
-    * deterministic stub for everything else (no codecs in this
-    * container for compressed formats).
+  /** Featurize: REAL pixel path for decodable images (BMP 24bpp, PNG
+    * 8-bit non-interlaced), deterministic stub for everything else (no
+    * codecs in this container for jpeg/gif/video).
     */
   def featurize(bytes: Array[Byte], frameIdx: Int, dim: Int = 16): Array[Float] =
-    decodeBmpPixels(bytes) match {
+    decodePixels(bytes) match {
       case Some((w, h, luma)) =>
         val grid = math.max(1, math.sqrt(dim.toDouble).toInt)
         val f = gridLumaFeature(w, h, luma, grid)

@@ -341,6 +341,82 @@ class Round2Spec extends SparkSpecBase {
     assert(frames.length == 1 && frames.head.feature.toSeq == f.toSeq)
   }
 
+  test("multimodal: REAL png pixel decode (zlib inflate + all five unfilters)") {
+    import graft.multimodal.BinaryPipeline
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+      be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+    }
+    val pngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    // inverse filter (encoder side): filtered = raw - predictor mod 256
+    def filterRow(f: Int, row: Array[Int], prev: Array[Int], bpp: Int): Array[Byte] =
+      f.toByte +: row.indices.map { x =>
+        val a = if (x >= bpp) row(x - bpp) else 0
+        val b = prev(x); val c = if (x >= bpp) prev(x - bpp) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        ((row(x) - pred) & 0xff).toByte
+      }.toArray
+    def makePng(w: Int, h: Int, colorType: Int, channels: Int,
+                pixels: Array[Array[Int]], filters: Array[Int]): Array[Byte] = {
+      val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
+      var prev = Array.fill(w * channels)(0)
+      val scan = pixels.zip(filters).flatMap { case (row, f) =>
+        val out = filterRow(f, row, prev, channels); prev = row; out
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(scan); defl.finish()
+      val buf = new Array[Byte](scan.length + 64)
+      val n = defl.deflate(buf); defl.end()
+      pngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++
+        chunk("IEND", Array.empty)
+    }
+    // grayscale 3x4 exercising every filter type (None/Sub/Up/Avg/Paeth)
+    val gray = Array(
+      Array(10, 20, 250), Array(15, 130, 7), Array(200, 0, 99), Array(1, 255, 128))
+    val png = makePng(3, 4, colorType = 0, channels = 1, gray,
+      filters = Array(0, 1, 2, 4))
+    val Some((w, h, luma)) = BinaryPipeline.decodePngPixels(png)
+    assert((w, h) == (3, 4))
+    assert(luma.toSeq == gray.flatten.map(_.toDouble).toSeq)
+    // RGB 2x2 with Average filter: BT.601 luma, same as the BMP contract
+    val rgb = Array(
+      Array(255, 255, 255, 0, 0, 0),   // white, black
+      Array(255, 0, 0, 0, 255, 0))     // red, green
+    val png2 = makePng(2, 2, colorType = 2, channels = 3, rgb,
+      filters = Array(0, 3))
+    val Some((w2, h2, luma2)) = BinaryPipeline.decodePngPixels(png2)
+    assert((w2, h2) == (2, 2))
+    assert(luma2(0) == 255.0 && luma2(1) == 0.0)
+    assert(math.abs(luma2(2) - 76.245) < 1e-9 && math.abs(luma2(3) - 149.685) < 1e-9)
+    // RGBA: alpha ignored for luma
+    val rgba = Array(Array(255, 0, 0, 7, 0, 255, 0, 200))
+    val Some((_, _, luma3)) = BinaryPipeline.decodePngPixels(
+      makePng(2, 1, colorType = 6, channels = 4, rgba, filters = Array(4)))
+    assert(math.abs(luma3(0) - 76.245) < 1e-9 && math.abs(luma3(1) - 149.685) < 1e-9)
+    // featurize takes the REAL png path
+    assert(BinaryPipeline.featurize(png2, 0, dim = 4).toSeq ==
+      BinaryPipeline.gridLumaFeature(2, 2, luma2, grid = 2).toSeq)
+    // corrupt/hostile inputs fall back cleanly: truncated IDAT, forged
+    // huge IHDR (must not allocate), palette color type
+    assert(BinaryPipeline.decodePngPixels(png.dropRight(30)).isEmpty)
+    val forged = pngSig ++ chunk("IHDR",
+      be32(1 << 20) ++ be32(1 << 20) ++ Array[Byte](8, 0, 0, 0, 0)) ++
+      chunk("IEND", Array.empty)
+    assert(BinaryPipeline.decodePngPixels(forged).isEmpty)
+  }
+
   test("suffix-array containment: one SA per hay doc, semantics unchanged") {
     val spark2 = spark
     import spark2.implicits._
