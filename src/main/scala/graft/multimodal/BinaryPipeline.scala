@@ -10,13 +10,14 @@ import org.apache.spark.sql.functions._
   * `decodeImageHeader` parses PNG IHDR, GIF screen descriptors, BMP info
   * headers and JPEG SOF frame headers with pure byte arithmetic (no
   * codec dependency). PIXEL decode + featurization are REAL for
-  * uncompressed 24-bit BMP (`decodeBmpPixels`) AND 8-bit non-interlaced
-  * PNG (`decodePngPixels`: chunk walk -> zlib inflate -> spec unfilters)
-  * -> BT.601 luma -> `gridLumaFeature` mean-pool grid (the reference's
-  * pooled-activation descriptor shape); remaining formats (jpeg/gif
-  * pixel data, video) FALL BACK TO A DETERMINISTIC STUB
-  * (`featurizeStub` — this container ships no codecs), as do
-  * unrecognized byte streams for metadata. The Spark-side plumbing is real
+  * uncompressed 24-bit BMP (`decodeBmpPixels`), 8-bit non-interlaced
+  * PNG (`decodePngPixels`: chunk walk -> zlib inflate -> spec
+  * unfilters) and non-interlaced GIF (`decodeGifPixels`: from-scratch
+  * LZW + palette lookup) -> BT.601 luma -> `gridLumaFeature` mean-pool
+  * grid (the reference's pooled-activation descriptor shape); the
+  * remaining formats (jpeg pixel data, video) FALL BACK TO A
+  * DETERMINISTIC STUB (`featurizeStub` — this container ships no
+  * codecs), as do unrecognized byte streams for metadata. The Spark-side plumbing is real
   * and tested: schema contracts, batched per-partition execution (the
   * Scala analog of `mapInPandas` batch shape), partition-count
   * preservation, and explode-based unit decomposition (the reference's
@@ -220,11 +221,145 @@ object BinaryPipeline {
     Some((width, height, out))
   }
 
+  /** GIF-variant LZW decode (LSB-first bit packing, CLEAR/EOI codes,
+    * 12-bit code cap, KwKwK case): returns exactly `expected` palette
+    * indices or None on a corrupt stream.
+    */
+  private def lzwDecode(data: Array[Byte], minCodeSize: Int,
+                        expected: Int): Option[Array[Int]] = {
+    if (minCodeSize < 2 || minCodeSize > 8) return None
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val maxCodes = 4096
+    val prefix = new Array[Int](maxCodes)
+    val suffix = new Array[Int](maxCodes)
+    var codeSize = minCodeSize + 1
+    var dictSize = eoi + 1
+    var bitPos = 0
+    val totalBits = data.length * 8
+    def nextCode(): Int = {
+      if (bitPos + codeSize > totalBits) return -1
+      var v = 0; var i = 0
+      while (i < codeSize) {
+        val p = bitPos + i
+        v |= ((data(p >> 3) >> (p & 7)) & 1) << i
+        i += 1
+      }
+      bitPos += codeSize
+      v
+    }
+    val out = new Array[Int](expected)
+    var n = 0
+    val stack = new Array[Int](maxCodes)
+    def firstChar(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    def emit(code: Int): Boolean = { // expand code -> out; false on overflow
+      var top = 0; var c = code
+      while (c >= clear) { stack(top) = suffix(c); top += 1; c = prefix(c) }
+      stack(top) = c; top += 1
+      while (top > 0) {
+        top -= 1
+        if (n >= expected) return false
+        out(n) = stack(top); n += 1
+      }
+      true
+    }
+    var prev = -1
+    while (n < expected) {
+      val c = nextCode()
+      if (c < 0 || c == eoi) return None // truncated before all pixels
+      if (c == clear) {
+        codeSize = minCodeSize + 1; dictSize = eoi + 1; prev = -1
+      } else if (prev == -1) {
+        if (c >= clear) return None // first code must be a root
+        out(n) = c; n += 1; prev = c
+      } else {
+        val valid = c < dictSize && c != clear && c != eoi
+        if (!valid && (c != dictSize || dictSize >= maxCodes)) return None
+        val fc = if (valid) firstChar(c) else firstChar(prev)
+        if (dictSize < maxCodes) {
+          prefix(dictSize) = prev; suffix(dictSize) = fc; dictSize += 1
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        // KwKwK: c == old dictSize -> the entry just added
+        if (!emit(c)) return None
+        prev = c
+      }
+    }
+    Some(out)
+  }
+
+  /** REAL pixel decode for non-interlaced GIF87a/89a (first image
+    * frame): global/local color table lookup after a from-scratch LZW
+    * decompress ([[lzwDecode]] — GIF's LZW is plain bit arithmetic, no
+    * codec library involved). Extensions (GCE/comment/application) are
+    * skipped; interlaced frames and missing palettes return None.
+    */
+  def decodeGifPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    if (bytes == null || bytes.length < 14) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    if (!(u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8' &&
+      (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')) return None
+    val packed = u8(10)
+    val gctSize = if ((packed >> 7) == 1) 2 << (packed & 7) else 0
+    var pos = 13 + 3 * gctSize
+    val gctOff = 13
+    while (pos < bytes.length) {
+      u8(pos) match {
+        case 0x3b => return None // trailer before any image
+        case 0x21 => // extension: label + sub-blocks until 0 terminator
+          pos += 2
+          while (pos < bytes.length && u8(pos) != 0) pos += 1 + u8(pos)
+          pos += 1
+        case 0x2c =>
+          if (pos + 10 > bytes.length) return None
+          val iw = le16(pos + 5); val ih = le16(pos + 7)
+          val ipacked = u8(pos + 9)
+          if (((ipacked >> 6) & 1) == 1) return None // interlaced
+          val lctSize = if ((ipacked >> 7) == 1) 2 << (ipacked & 7) else 0
+          val palOff = if (lctSize > 0) pos + 10 else gctOff
+          val palSize = if (lctSize > 0) lctSize else gctSize
+          if (palSize == 0) return None
+          pos += 10 + 3 * lctSize
+          if (pos >= bytes.length) return None
+          if (iw <= 0 || ih <= 0 || iw.toLong * ih > (1L << 26)) return None
+          val minCodeSize = u8(pos); pos += 1
+          val data = new java.io.ByteArrayOutputStream()
+          while (pos < bytes.length && u8(pos) != 0) {
+            val blockLen = u8(pos)
+            if (pos + 1 + blockLen > bytes.length) return None
+            data.write(bytes, pos + 1, blockLen)
+            pos += 1 + blockLen
+          }
+          lzwDecode(data.toByteArray, minCodeSize, iw * ih) match {
+            case None => return None
+            case Some(idx) =>
+              val out = new Array[Double](iw * ih)
+              var i = 0
+              while (i < idx.length) {
+                if (idx(i) >= palSize) return None // index outside palette
+                val b = palOff + idx(i) * 3
+                out(i) = 0.299 * u8(b) + 0.587 * u8(b + 1) + 0.114 * u8(b + 2)
+                i += 1
+              }
+              return Some((iw, ih, out))
+          }
+        case _ => return None // corrupt block stream
+      }
+    }
+    None
+  }
+
   /** Pixel decode across the real-decode formats (24bpp BMP, 8-bit
-    * non-interlaced PNG); None -> stub fallback.
+    * non-interlaced PNG, non-interlaced GIF); None -> stub fallback.
     */
   def decodePixels(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] =
     decodeBmpPixels(bytes).orElse(decodePngPixels(bytes))
+      .orElse(decodeGifPixels(bytes))
 
   /** REAL feature extraction over decoded pixels: `grid`x`grid`
     * mean-luminance pooling (the classic perceptual-hash/gray-frame

@@ -417,6 +417,69 @@ class Round2Spec extends SparkSpecBase {
     assert(BinaryPipeline.decodePngPixels(forged).isEmpty)
   }
 
+  test("multimodal: REAL gif pixel decode (from-scratch LZW incl. KwKwK + code-width growth)") {
+    import graft.multimodal.BinaryPipeline
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    // LSB-first bit writer emitting codes at the decoder's expected width
+    final class LzwWriter(minCodeSize: Int) {
+      private val bits = scala.collection.mutable.ArrayBuffer[Int]()
+      private val clear = 1 << minCodeSize
+      private var codeSize = minCodeSize + 1
+      private var dictSize = clear + 2
+      private var prev = -1
+      def writeCode(c: Int): Unit = {
+        (0 until codeSize).foreach(i => bits += ((c >> i) & 1))
+        if (c == clear) { codeSize = minCodeSize + 1; dictSize = clear + 2; prev = -1 }
+        else if (prev == -1) prev = c
+        else {
+          dictSize += 1 // decoder adds one entry per non-first code
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+          prev = c
+        }
+      }
+      def bytes: Array[Byte] = bits.grouped(8).map(g =>
+        g.zipWithIndex.map { case (b, i) => b << i }.sum.toByte).toArray
+    }
+    // palette: 0=black, 1=white, 2=red, 3=green (global color table)
+    val palette = Array[Byte](0, 0, 0, 255.toByte, 255.toByte, 255.toByte,
+      255.toByte, 0, 0, 0, 255.toByte, 0)
+    def makeGif(w: Int, h: Int, pixels: Array[Int],
+                lzw: Array[Byte]): Array[Byte] =
+      "GIF89a".getBytes("US-ASCII") ++ le16(w) ++ le16(h) ++
+        Array[Byte](0x91.toByte /* GCT, 4 entries (2<<1) */, 0, 0) ++ palette ++
+        // graphic-control extension (skipped by the decoder)
+        Array[Byte](0x21, 0xf9.toByte, 4, 0, 0, 0, 0, 0) ++
+        Array[Byte](0x2c) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h) ++
+        Array[Byte](0 /* no LCT, not interlaced */, 2 /* minCodeSize */) ++
+        Array[Byte](lzw.length.toByte) ++ lzw ++ Array[Byte](0, 0x3b)
+    // 12 literal pixels: enough non-first codes to push dictSize past 8,
+    // exercising the 3->4 bit code-width growth mid-stream
+    val px = Array(0, 1, 2, 3, 3, 2, 1, 0, 1, 1, 2, 0)
+    val wr = new LzwWriter(2)
+    wr.writeCode(4) // clear
+    px.foreach(wr.writeCode)
+    wr.writeCode(5) // EOI
+    val gif = makeGif(4, 3, px, wr.bytes)
+    val Some((w, h, luma)) = BinaryPipeline.decodeGifPixels(gif)
+    assert((w, h) == (4, 3))
+    val lumaOf = Array(0.0, 255.0, 76.245, 149.685)
+    px.indices.foreach(i => assert(math.abs(luma(i) - lumaOf(px(i))) < 1e-9, s"px $i"))
+    // KwKwK case: stream [clear, 1, 6] decodes to white,white,white
+    // (code 6 == dictSize names the entry being defined)
+    val wr2 = new LzwWriter(2)
+    wr2.writeCode(4); wr2.writeCode(1); wr2.writeCode(6); wr2.writeCode(5)
+    val Some((_, _, luma2)) = BinaryPipeline.decodeGifPixels(makeGif(3, 1, null, wr2.bytes))
+    assert(luma2.toSeq == Seq(255.0, 255.0, 255.0))
+    // featurize takes the real GIF path
+    assert(BinaryPipeline.featurize(gif, 0, dim = 4).toSeq ==
+      BinaryPipeline.gridLumaFeature(w, h, luma, grid = 2).toSeq)
+    // corrupt inputs fall back cleanly: truncated stream, interlaced flag
+    assert(BinaryPipeline.decodeGifPixels(gif.dropRight(6)).isEmpty)
+    val interlaced = gif.clone()
+    interlaced(13 + palette.length + 8 + 9) = 0x40.toByte // image-desc packed
+    assert(BinaryPipeline.decodeGifPixels(interlaced).isEmpty)
+  }
+
   test("suffix-array containment: one SA per hay doc, semantics unchanged") {
     val spark2 = spark
     import spark2.implicits._
