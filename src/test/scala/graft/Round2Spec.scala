@@ -480,6 +480,65 @@ class Round2Spec extends SparkSpecBase {
     assert(BinaryPipeline.decodeGifPixels(interlaced).isEmpty)
   }
 
+  test("multimodal: JDK ImageIO codec path — jpeg decode, animated-gif frames, pure==codec parity") {
+    import graft.multimodal.BinaryPipeline
+    // jpeg: encode a half-white/half-black image with the JDK writer,
+    // decode through the pipeline (lossy -> tolerance)
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 16).foreach(y => (0 until 16).foreach(x =>
+      img.setRGB(x, y, if (x < 8) 0xffffff else 0x000000)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val jpeg = bos.toByteArray
+    val meta = BinaryPipeline.decodeMeta(jpeg)
+    assert(meta.format == "jpeg" && meta.width == 16 && meta.height == 16 &&
+      meta.nFrames == 1)
+    val Some((jw, jh, jluma)) = BinaryPipeline.decodeImageIOFrame(jpeg, 0)
+    assert((jw, jh) == (16, 16))
+    val f = BinaryPipeline.featurize(jpeg, 0, dim = 4)
+    assert(f(0) > 200f && f(2) > 200f, s"left cells white-ish: ${f.toSeq}")
+    assert(f(1) < 55f && f(3) < 55f, s"right cells black-ish: ${f.toSeq}")
+    // animated gif (two 1x1 frames, black then white): REAL frame count
+    // + per-frame decode — the video-frame analog
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val palette = Array[Byte](0, 0, 0, 255.toByte, 255.toByte, 255.toByte,
+      0, 0, 0, 0, 0, 0)
+    def frameBlock(pix: Int): Array[Byte] = {
+      // codes at width 3 (minCodeSize 2): clear=4, pixel, eoi=5 -> 9 bits
+      val bits = Seq(4, pix, 5).flatMap(c => (0 until 3).map(i => (c >> i) & 1))
+      val lzw = bits.grouped(8).map(g =>
+        g.zipWithIndex.map { case (b, i) => b << i }.sum.toByte).toArray
+      Array[Byte](0x2c) ++ le16(0) ++ le16(0) ++ le16(1) ++ le16(1) ++
+        Array[Byte](0, 2, lzw.length.toByte) ++ lzw ++ Array[Byte](0)
+    }
+    val anim = "GIF89a".getBytes("US-ASCII") ++ le16(1) ++ le16(1) ++
+      Array[Byte](0x91.toByte, 0, 0) ++ palette ++
+      frameBlock(0) ++ frameBlock(1) ++ Array[Byte](0x3b)
+    val ameta = BinaryPipeline.decodeMeta(anim)
+    assert(ameta.format == "gif" && ameta.nFrames == 2, s"got $ameta")
+    assert(BinaryPipeline.decodeImageIOFrame(anim, 0).exists(_._3.head == 0.0))
+    assert(BinaryPipeline.decodeImageIOFrame(anim, 1).exists(_._3.head == 255.0))
+    assert(BinaryPipeline.decodeImageIOFrame(anim, 2).isEmpty)
+    // one row per frame through the Dataset operator, distinct features
+    val spark2 = spark
+    import spark2.implicits._
+    val frames = BinaryPipeline.sampleAndFeaturize(
+      Seq(("anim", anim)).toDF("id", "bytes"), stride = 1, dim = 1)
+      .collect().sortBy(_.frameIdx)
+    assert(frames.map(_.frameIdx).toSeq == Seq(0, 1))
+    assert(frames(0).feature.head == 0.0f && frames(1).feature.head == 255.0f)
+    // parity: the pure spec decoders and the JDK codec agree bit-for-bit
+    // on lossless formats (PNG path exercised via a JDK-written png)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos2))
+    val png = bos2.toByteArray
+    val pure = BinaryPipeline.decodePngPixels(png)
+    val codec = BinaryPipeline.decodeImageIOFrame(png, 0)
+    assert(pure.isDefined, "JDK png output should be 8-bit non-interlaced")
+    assert(pure.get._3.toSeq == codec.get._3.toSeq)
+  }
+
   test("suffix-array containment: one SA per hay doc, semantics unchanged") {
     val spark2 = spark
     import spark2.implicits._
