@@ -582,6 +582,34 @@ object BinaryPipeline {
       }
   }
 
+  /** Visual near-duplicate pairs — the reference's OWN domain
+    * (VideoDeduplication: frame descriptors -> item signature ->
+    * pairwise match, `generate_matches.py:57-94`) running on REAL
+    * pixels: decode sampled frames (codecs above) -> grid-luma frame
+    * features -> mean-pooled item embedding -> cosine >= threshold
+    * pairs, canonicalized (id_a < id_b). Candidate search here is the
+    * broadcast k-NN baseline (exact, fine up to ~1M items); at corpus
+    * scale swap `Embeddings.srpTopK` in — the item-embedding table has
+    * the exact schema both paths share.
+    */
+  def mediaDuplicatePairs(media: DataFrame, threshold: Double = 0.995,
+                          stride: Int = 1, dim: Int = 16, k: Int = 10): DataFrame = {
+    val emb = itemEmbedding(sampleAndFeaturize(media, stride, dim))
+      .select(col("id"),
+        expr("transform(embedding, x -> cast(x as float))").as("embedding"))
+    graft.functions.Embeddings.bruteForceTopK(emb, emb, k)
+      .where(col("cosine") >= threshold && col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"), col("cosine"))
+  }
+
+  /** Pairs -> duplicate-group assignments (same CC operator as the text
+    * pipeline; cluster id = min member id).
+    */
+  def mediaClusters(pairs: DataFrame): DataFrame =
+    graft.pipeline.ConnectedComponents.run(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id"), col("component").as("cluster_id"))
+
   /** Item-level aggregate over frame features (the reference's
     * frame->video global-vector mean, `loading_utils.py:77-98`) —
     * expressed as a groupBy aggregation over the frame Dataset.

@@ -539,6 +539,49 @@ class Round2Spec extends SparkSpecBase {
     assert(pure.get._3.toSeq == codec.get._3.toSeq)
   }
 
+  test("multimodal: visual near-dup pipeline on real pixels (the reference's own domain)") {
+    import graft.multimodal.BinaryPipeline
+    def makePng(pattern: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 16).foreach(y => (0 until 16).foreach(x =>
+        img.setRGB(x, y, pattern(x, y))))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val leftWhite = makePng((x, _) => if (x < 8) 0xffffff else 0)
+    // near-dup of leftWhite: two pixels flipped
+    val leftWhite2 = makePng((x, y) =>
+      if ((x, y) == (0, 0) || (x, y) == (15, 15)) 0x808080
+      else if (x < 8) 0xffffff else 0)
+    val topWhite = makePng((_, y) => if (y < 8) 0xffffff else 0)
+    val topWhite2 = makePng((x, y) =>
+      if ((x, y) == (3, 3)) 0x404040 else if (y < 8) 0xffffff else 0)
+    val gradient = makePng((x, y) => { val v = (x * 16) & 0xff; (v << 16) | (v << 8) | v })
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq(("a1", leftWhite), ("a2", leftWhite2), ("b1", topWhite),
+      ("b2", topWhite2), ("c1", gradient)).toDF("id", "bytes")
+    val pairs = BinaryPipeline.mediaDuplicatePairs(media, threshold = 0.99)
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a1", "a2"), ("b1", "b2")), s"got $got")
+    val clusters = BinaryPipeline.mediaClusters(pairs)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(clusters == Map("a1" -> "a1", "a2" -> "a1", "b1" -> "b1", "b2" -> "b1"))
+    // sanity: the cross-pattern cosine really is far from the threshold
+    // (left-half vs top-half grids overlap on one quadrant -> ~0.5)
+    val emb = BinaryPipeline.itemEmbedding(
+      BinaryPipeline.sampleAndFeaturize(media, stride = 1, dim = 16))
+      .select(col("id"),
+        expr("transform(embedding, x -> cast(x as float))").as("embedding"))
+    val topk = graft.functions.Embeddings.bruteForceTopK(emb, emb, 4)
+    val cross = topk.where(col("query_id") === "a1" && col("neighbor_id") === "b1")
+      .select("cosine").collect().head.getDouble(0)
+    assert(cross < 0.7, s"distinct patterns must stay below threshold: $cross")
+  }
+
   test("suffix-array containment: one SA per hay doc, semantics unchanged") {
     val spark2 = spark
     import spark2.implicits._
