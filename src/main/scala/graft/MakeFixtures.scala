@@ -18,9 +18,12 @@ object MakeFixtures {
   /** Queries pinned by fixture, with the sf dir the driver verifies at. */
   val fixtureQueries: Seq[String] =
     Seq("q_simhash_pairs", "q_doc_fingerprints", "q_ann_srp", "q_ann_ivf",
-      "q_html_meta", "q_lang_id", "q_winnow_fp")
+      "q_html_meta", "q_lang_id", "q_winnow_fp", "q_media_dedup")
   val sfDir = "/root/testdata/sf0.01"
 
+  /** Optional args = subset of fixture names to regenerate (avoids
+    * byte-churn on untouched fixtures); no args = all.
+    */
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -31,7 +34,10 @@ object MakeFixtures {
     spark.sparkContext.setLogLevel("WARN")
     val outRoot = Paths.get("fixtures")
     Files.createDirectories(outRoot)
-    fixtureQueries.foreach { name =>
+    val targets =
+      if (args.isEmpty) fixtureQueries
+      else fixtureQueries.filter(args.contains(_))
+    targets.foreach { name =>
       val tmp = Files.createTempDirectory(s"graft-fixture-$name").toString
       SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(tmp)

@@ -46,6 +46,36 @@ object Profile {
     }
     time("cc")(Dedup.clusters(pairs).count())
     time("cc-again")(Dedup.clusters(pairs).count())
+    if (sys.env.get("SPARK_GRAFT_PROFILE_MEDIA").contains("1")) {
+      import org.apache.spark.sql.functions._
+      import graft.multimodal.BinaryPipeline
+      val spark2 = spark
+      import spark2.implicits._
+      val media = time("media: synth bmp df") {
+        val m = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id")).as[Long]
+          .map(d => (d.toString, BinaryPipeline.syntheticBmp(d / 5, (d % 5).toInt + 1)))
+          .toDF("id", "bytes").localCheckpoint(true)
+        m.count(); m
+      }
+      val frames = time("media: sample+featurize") {
+        val f = BinaryPipeline.sampleAndFeaturize(media, 1, 16)
+          .toDF().localCheckpoint(true)
+        f.count(); f
+      }
+      val emb = time("media: itemEmbedding") {
+        val e = BinaryPipeline.itemEmbedding(frames.as[BinaryPipeline.Frame])
+          .select(col("id"),
+            expr("transform(embedding, x -> cast(x as float))").as("embedding"))
+          .localCheckpoint(true)
+        e.count(); e
+      }
+      time("media: topk")(
+        graft.functions.Embeddings.bruteForceTopK(emb, emb, 10).count())
+      time("media: full query")(
+        SparkEntry.queries("q_media_dedup")(spark, sfDir).count())
+      spark.stop(); return
+    }
     val light = sys.env.get("SPARK_GRAFT_PROFILE_LIGHT").contains("1")
     if (light) { spark.stop(); return }
     locally {

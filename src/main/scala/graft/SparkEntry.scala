@@ -249,6 +249,21 @@ object SparkEntry {
           col("ts") < lit("2024-01-17 00:00:00"))
         .groupBy("event_type").agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"))),
+    // visual near-dup dedup over deterministic synthetic media (planted
+    // groups of 5 pixel-perturbed variants per base image): exercises the
+    // REAL decode -> frame-feature -> embedding -> cosine-pair path
+    // driver-checkably (fixture oracle — codecs aren't SQL-expressible)
+    "q_media_dedup" -> ((s, dir) => {
+      import graft.multimodal.BinaryPipeline
+      val spark2 = s
+      import spark2.implicits._
+      val media = documents(s, dir).select(col("doc_id")).as[Long]
+        .map(d => (d.toString, BinaryPipeline.syntheticBmp(d / 5, (d % 5).toInt + 1)))
+        .toDF("id", "bytes")
+      BinaryPipeline.mediaDuplicatePairs(media, threshold = 0.9995)
+        .select(col("id_a").cast("long").as("doc_id_a"),
+          col("id_b").cast("long").as("doc_id_b"), col("cosine"))
+    }),
     // --- relational anchors (generic operator correctness) --------------
     // sums emitted as round(.,2) doubles on BOTH sides: engines widen
     // decimal sums differently (Spark dec(28,2) vs DuckDB HUGEINT-backed
@@ -381,6 +396,8 @@ object SparkEntry {
       "SELECT * FROM '/root/repo/fixtures/q_html_meta.parquet'",
     "q_lang_id" ->
       "SELECT doc_id, lang_id FROM '/root/repo/fixtures/q_lang_id.parquet'",
+    "q_media_dedup" ->
+      "SELECT doc_id_a, doc_id_b, cosine FROM '/root/repo/fixtures/q_media_dedup.parquet'",
     "q_winnow_fp" ->
       "SELECT doc_id, fp FROM '/root/repo/fixtures/q_winnow_fp.parquet'",
     // same arithmetic, same operand order, round(.,6) both engines;

@@ -63,15 +63,32 @@ object Embeddings {
             else cosArr(q, vecs(i))
             i += 1
           }
-          val order = (0 until n).filter(sims(_) > Double.NegativeInfinity)
-            .sortBy(i => -sims(i))
-          val kept =
-            if (order.length <= k) order
-            else {
-              val cut = sims(order(k - 1))
-              order.takeWhile(sims(_) >= cut) // top-k plus boundary ties
+          // k-th largest via a primitive sorted-k buffer (no boxed
+          // sort over all n candidates per query — that was O(n log n)
+          // boxed per query, the dominant cost at n in the thousands);
+          // emitted set = top-k PLUS boundary ties, identical to a
+          // full sort + takeWhile(>= cut)
+          val top = new Array[Double](k) // ascending; top(0) = running min
+          var filled = 0
+          i = 0
+          while (i < n) {
+            val s = sims(i)
+            if (s != Double.NegativeInfinity) {
+              if (filled < k) {
+                top(filled) = s; filled += 1
+                if (filled == k) java.util.Arrays.sort(top)
+              } else if (s > top(0)) {
+                var j = 1
+                while (j < k && top(j) < s) { top(j - 1) = top(j); j += 1 }
+                top(j - 1) = s
+              }
             }
-          kept.iterator.map(i => Row(qid, ids(i), sims(i)))
+            i += 1
+          }
+          val cut = if (filled < k) Double.NegativeInfinity else top(0)
+          (0 until n).iterator
+            .filter(i => sims(i) != Double.NegativeInfinity && sims(i) >= cut)
+            .map(i => Row(qid, ids(i), sims(i)))
         }
       }
     }(Encoders.row(outSchema))

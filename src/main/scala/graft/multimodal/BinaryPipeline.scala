@@ -554,6 +554,17 @@ object BinaryPipeline {
     * per item and decode only the sampled frames — not one
     * container-reparse per frame.
     */
+  /** GIF and TIFF are the only installed containers that can hold more
+    * than one frame/page; anything else is single-frame and must NOT pay
+    * an ImageIO reader setup per item in the sampling loop.
+    */
+  private def isMultiFrameContainer(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 4 && {
+      (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') ||
+      (bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 0x2a && bytes(3) == 0) ||
+      (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 0x2a)
+    }
+
   def sampleAndFeaturize(media: DataFrame, stride: Int = 4, dim: Int = 16): Dataset[Frame] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -561,7 +572,16 @@ object BinaryPipeline {
       .as[(String, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          withImageReader(bytes) { r =>
+          if (!isMultiFrameContainer(bytes))
+            decodePixels(bytes).orElse(decodeImageIOFrame(bytes, 0)) match {
+              case Some((w, h, l)) =>
+                Iterator.single(Frame(id, 0, gridFeature(w, h, l, dim)))
+              case None => // undecodable: stub keeps the pipeline total
+                val meta = decodeMeta(bytes)
+                (0 until meta.nFrames by stride).iterator.map(f =>
+                  Frame(id, f, featurizeStub(bytes, f, dim)))
+            }
+          else withImageReader(bytes) { r =>
             val n = try math.max(1, r.getNumImages(true))
                     catch { case scala.util.control.NonFatal(_) => 1 }
             (0 until n by stride).map { f =>
@@ -580,6 +600,49 @@ object BinaryPipeline {
           }.iterator
         }
       }
+  }
+
+  /** Deterministic synthetic 16x16 24bpp grayscale BMP for tests and
+    * fixtures: 4x4 blocks whose gray levels derive from `group` via an
+    * avalanche mix (distinct groups -> near-orthogonal-enough grid
+    * embeddings), `noise` perturbs one hash-chosen pixel by +8 — a
+    * planted visual near-dup generator (same group, different noise ->
+    * cosine ~1; different group -> far below any dedup threshold).
+    */
+  def syntheticBmp(group: Long, noise: Int): Array[Byte] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val vals = Array.tabulate(16)(c => ((mix(group * 16 + c) >>> 8) & 0xff).toInt)
+    val px = Array.tabulate(16, 16)((y, x) => vals((y / 4) * 4 + (x / 4)))
+    if (noise > 0) {
+      val p = mix(group ^ (noise.toLong << 32))
+      val nx = ((p >>> 3) & 15).toInt
+      val ny = ((p >>> 13) & 15).toInt
+      px(ny)(nx) = math.min(255, px(ny)(nx) + 8)
+    }
+    val stride = 48 // 16*3, already 4-byte aligned
+    val dataSize = stride * 16
+    val out = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+    out.putInt(40).putInt(16).putInt(16).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(0).putInt(0).putInt(0).putInt(0)
+    var y = 15
+    while (y >= 0) { // rows bottom-up
+      var x = 0
+      while (x < 16) {
+        val v = px(y)(x).toByte
+        out.put(v).put(v).put(v)
+        x += 1
+      }
+      y -= 1
+    }
+    out.array()
   }
 
   /** Visual near-duplicate pairs — the reference's OWN domain
