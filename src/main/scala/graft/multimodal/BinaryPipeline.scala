@@ -249,14 +249,14 @@ object BinaryPipeline {
     val suffix = new Array[Int](maxCodes)
     var codeSize = minCodeSize + 1
     var dictSize = eoi + 1
-    var bitPos = 0
-    val totalBits = data.length * 8
+    var bitPos = 0L // Long: byte-count * 8 overflows Int past 256 MB
+    val totalBits = data.length.toLong * 8
     def nextCode(): Int = {
       if (bitPos + codeSize > totalBits) return -1
       var v = 0; var i = 0
       while (i < codeSize) {
         val p = bitPos + i
-        v |= ((data(p >> 3) >> (p & 7)) & 1) << i
+        v |= ((data((p >> 3).toInt) >> (p & 7).toInt) & 1) << i
         i += 1
       }
       bitPos += codeSize
