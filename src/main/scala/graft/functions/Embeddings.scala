@@ -50,17 +50,39 @@ object Embeddings {
       StructField("cosine", DoubleType)))
     val partial = qdf.mapPartitions { it =>
       val (ids, vecs) = bc.value
+      // corpus norms once per task, not once per (query, vec) pair;
+      // dot/(sqrt(na)*sqrt(nb)) with hoisted sqrt values is the SAME
+      // float expression as cosArr when dims match (oracle bit-parity),
+      // cosArr fallback covers ragged dims (min-length semantics)
+      val norms = vecs.map { v =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+        math.sqrt(s)
+      }
       it.flatMap { r =>
         val qid = r.get(0)
         val q = r.getSeq[Float](1).toArray
         val n = vecs.length
+        var qn = 0.0
+        var d = 0
+        while (d < q.length) { qn += q(d).toDouble * q(d); d += 1 }
+        qn = math.sqrt(qn)
         if (n == 0) Iterator.empty
         else {
           val sims = new Array[Double](n)
           var i = 0
           while (i < n) {
-            sims(i) = if (qid == ids(i)) Double.NegativeInfinity // self
-            else cosArr(q, vecs(i))
+            val v = vecs(i)
+            sims(i) =
+              if (qid == ids(i)) Double.NegativeInfinity // self
+              else if (v.length == q.length) {
+                if (qn == 0.0 || norms(i) == 0.0) 0.0
+                else {
+                  var dot = 0.0; var j = 0
+                  while (j < q.length) { dot += q(j).toDouble * v(j); j += 1 }
+                  dot / (qn * norms(i))
+                }
+              } else cosArr(q, v)
             i += 1
           }
           // k-th largest via a primitive sorted-k buffer (no boxed
