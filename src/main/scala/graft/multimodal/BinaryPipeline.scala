@@ -674,21 +674,22 @@ object BinaryPipeline {
       .select(col("id"), col("component").as("cluster_id"))
 
   /** Item-level aggregate over frame features (the reference's
-    * frame->video global-vector mean, `loading_utils.py:77-98`) —
-    * expressed as a groupBy aggregation over the frame Dataset.
+    * frame->video global-vector mean, `loading_utils.py:77-98`):
+    * posexplode to (id, pos, v), codegen'd partial-aggregated `avg` per
+    * component, re-assemble ordered. The per-component aggregate
+    * map-side-combines multi-frame items BEFORE the shuffle — the
+    * exchange carries dim rows per item, never one row per frame (the
+    * previous collect_list formulation shipped every frame vector and
+    * summed them in an interpreted HOF).
     */
-  def itemEmbedding(frames: Dataset[Frame]): DataFrame = {
-    val spark = frames.sparkSession
-    import spark.implicits._
+  def itemEmbedding(frames: Dataset[Frame]): DataFrame =
     frames.toDF()
-      .select(col("id"), col("feature"))
+      .select(col("id"), posexplode(col("feature")).as(Seq("pos", "v")))
+      .groupBy("id", "pos")
+      .agg(avg(col("v")).as("m"), count(lit(1)).as("nf"))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_frames"),
-        // element-wise mean via posexplode + pivot-free re-collect
-        collect_list(col("feature")).as("feats"))
-      .withColumn("embedding",
-        expr("transform(sequence(0, size(feats[0])-1), " +
-          "j -> aggregate(feats, cast(0.0 as double), (acc, f) -> acc + f[j]) / size(feats))"))
+      .agg(max(col("nf")).as("n_frames"),
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x("m")).as("embedding"))
       .select(col("id"), col("n_frames"), col("embedding"))
-  }
 }
