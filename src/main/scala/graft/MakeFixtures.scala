@@ -34,6 +34,9 @@ object MakeFixtures {
     spark.sparkContext.setLogLevel("WARN")
     val outRoot = Paths.get("fixtures")
     Files.createDirectories(outRoot)
+    val unknown = args.filterNot(fixtureQueries.contains)
+    require(unknown.isEmpty,
+      s"unknown fixture name(s): ${unknown.mkString(", ")} — valid: ${fixtureQueries.mkString(", ")}")
     val targets =
       if (args.isEmpty) fixtureQueries
       else fixtureQueries.filter(args.contains(_))

@@ -52,10 +52,7 @@ object Profile {
       val spark2 = spark
       import spark2.implicits._
       val media = time("media: synth bmp df") {
-        val m = spark.read.parquet(s"$sfDir/documents.parquet")
-          .select(col("doc_id")).as[Long]
-          .map(d => (d.toString, BinaryPipeline.syntheticBmp(d / 5, (d % 5).toInt + 1)))
-          .toDF("id", "bytes").localCheckpoint(true)
+        val m = SparkEntry.syntheticMedia(spark, sfDir).localCheckpoint(true)
         m.count(); m
       }
       val frames = time("media: sample+featurize") {
@@ -72,6 +69,9 @@ object Profile {
       }
       time("media: topk")(
         graft.functions.Embeddings.bruteForceTopK(emb, emb, 10).count())
+      time("media: threshold pairs")(
+        graft.functions.Embeddings
+          .bruteForceThresholdPairs(emb, SparkEntry.mediaDedupThreshold).count())
       time("media: full query")(
         SparkEntry.queries("q_media_dedup")(spark, sfDir).count())
       spark.stop(); return

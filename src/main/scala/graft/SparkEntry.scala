@@ -27,6 +27,21 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
 
+  /** Planted visual near-dup corpus over the documents ids (group =
+    * doc_id/5, per-member noise = doc_id%5+1) — ONE definition shared by
+    * the q_media_dedup query, DumpPlans and Profile: the scheme is
+    * load-bearing for the committed fixture, so it must not fork.
+    */
+  private[graft] val mediaDedupThreshold = 0.9995
+  private[graft] def syntheticMedia(s: SparkSession, dir: String): DataFrame = {
+    val spark2 = s
+    import spark2.implicits._
+    documents(s, dir).select(col("doc_id")).as[Long]
+      .map(d => (d.toString,
+        graft.multimodal.BinaryPipeline.syntheticBmp(d / 5, (d % 5).toInt + 1)))
+      .toDF("id", "bytes")
+  }
+
   private def pairsOut(df: DataFrame): DataFrame =
     df.select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"), col("jaccard"))
 
@@ -253,17 +268,11 @@ object SparkEntry {
     // groups of 5 pixel-perturbed variants per base image): exercises the
     // REAL decode -> frame-feature -> embedding -> cosine-pair path
     // driver-checkably (fixture oracle — codecs aren't SQL-expressible)
-    "q_media_dedup" -> ((s, dir) => {
-      import graft.multimodal.BinaryPipeline
-      val spark2 = s
-      import spark2.implicits._
-      val media = documents(s, dir).select(col("doc_id")).as[Long]
-        .map(d => (d.toString, BinaryPipeline.syntheticBmp(d / 5, (d % 5).toInt + 1)))
-        .toDF("id", "bytes")
-      BinaryPipeline.mediaDuplicatePairs(media, threshold = 0.9995)
+    "q_media_dedup" -> ((s, dir) =>
+      graft.multimodal.BinaryPipeline
+        .mediaDuplicatePairs(syntheticMedia(s, dir), mediaDedupThreshold)
         .select(col("id_a").cast("long").as("doc_id_a"),
-          col("id_b").cast("long").as("doc_id_b"), col("cosine"))
-    }),
+          col("id_b").cast("long").as("doc_id_b"), col("cosine"))),
     // --- relational anchors (generic operator correctness) --------------
     // sums emitted as round(.,2) doubles on BOTH sides: engines widen
     // decimal sums differently (Spark dec(28,2) vs DuckDB HUGEINT-backed

@@ -117,6 +117,61 @@ object Embeddings {
     topKRanked(partial, k)
   }
 
+  /** ALL canonical pairs (id_a < id_b, string order) with cosine >=
+    * threshold — COMPLETE at the threshold, unlike a k-NN cut which
+    * silently drops qualifying pairs inside duplicate groups larger
+    * than ~k. Same broadcast-corpus shape as [[bruteForceTopK]]; each
+    * task emits only its queries' above-threshold matches, so the
+    * exchange carries the (sparse) result, never the n² scan.
+    */
+  def bruteForceThresholdPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val spark = emb.sparkSession
+    val e = emb.select(col("id").cast("string"), col("embedding"))
+    val corpusRows = e.collect()
+    val cIds = corpusRows.map(_.getString(0))
+    val cVecs = corpusRows.map(_.getSeq[Float](1).toArray)
+    val bc = spark.sparkContext.broadcast((cIds, cVecs))
+    val outSchema = StructType(Seq(
+      StructField("id_a", StringType), StructField("id_b", StringType),
+      StructField("cosine", DoubleType)))
+    e.mapPartitions { it =>
+      val (ids, vecs) = bc.value
+      val norms = vecs.map { v =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+        math.sqrt(s)
+      }
+      it.flatMap { r =>
+        val qid = r.getString(0)
+        val q = r.getSeq[Float](1).toArray
+        var qn = 0.0
+        var d = 0
+        while (d < q.length) { qn += q(d).toDouble * q(d); d += 1 }
+        val qNorm = math.sqrt(qn)
+        ids.indices.iterator.flatMap { i =>
+          // canonical orientation only: each unordered pair scanned once
+          if (qid >= ids(i)) Iterator.empty
+          else {
+            val v = vecs(i)
+            val cos =
+              if (v.length == q.length) {
+                if (qNorm == 0.0 || norms(i) == 0.0) 0.0
+                else {
+                  var dot = 0.0; var j = 0
+                  while (j < q.length) { dot += q(j).toDouble * v(j); j += 1 }
+                  dot / (qNorm * norms(i))
+                }
+              } else cosArr(q, v)
+            if (cos >= threshold) Iterator.single(Row(qid, ids(i), cos))
+            else Iterator.empty
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   private def cosArr(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
     var dot = 0.0; var na = 0.0; var nb = 0.0

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -35,7 +35,7 @@ object GraftFunctions {
     ("winnow_hashes", 3, es => Expressions.WinnowHashes(es.head, intArg(es(1)), intArg(es(2))))
   )
 
-  private[functions] def checked(name: String, arity: Int,
+  private[graft] def checked(name: String, arity: Int,
                       builder: Seq[Expression] => Expression): Seq[Expression] => Expression =
     (exprs: Seq[Expression]) => {
       require(exprs.length == arity, s"$name expects $arity arguments")
@@ -54,19 +54,3 @@ object GraftFunctions {
     }
 }
 
-/** Session-extensions entry point: activates every graft SQL function on
-  * session construction via
-  * `--conf spark.sql.extensions=graft.GraftExtensions`. The idiomatic way
-  * to ship the function surface to a shared cluster (reference exposes its
-  * kernels as an importable module, `winnow/feature_extraction/model.py`;
-  * on Spark the analogous "import" is an extensions injection).
-  */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
-    GraftFunctions.functionTable.foreach { case (name, arity, builder) =>
-      ext.injectFunction((
-        FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions.Expressions", name),
-        GraftFunctions.checked(name, arity, builder)))
-    }
-}

@@ -84,11 +84,13 @@ object BinaryPipeline {
     * parser doesn't cover; deterministic stub only for non-image bytes.
     */
   def decodeMeta(bytes: Array[Byte]): MediaMeta =
-    (decodeImageHeader(bytes), decodeImageIOMeta(bytes)) match {
-      case (Some(h), Some(m)) => h.copy(nFrames = m.nFrames)
-      case (Some(h), None) => h
-      case (None, Some(m)) => m
-      case (None, None) => decodeStub(bytes)
+    decodeImageHeader(bytes) match {
+      // single-frame containers: the ~50-byte header parse is the whole
+      // answer — never pay an ImageIO reader + full-stream frame scan
+      case Some(h) if !isMultiFrameContainer(bytes) => h
+      case Some(h) =>
+        decodeImageIOMeta(bytes).map(m => h.copy(nFrames = m.nFrames)).getOrElse(h)
+      case None => decodeImageIOMeta(bytes).getOrElse(decodeStub(bytes))
     }
 
   /** REAL pixel decode for uncompressed 24-bit BMP (BITMAPINFOHEADER,
@@ -193,8 +195,11 @@ object BinaryPipeline {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inflater.end()
-    // unfilter scanlines (filter byte precedes each row)
-    val img = new Array[Int](rowBytes * height)
+    // unfilter scanlines (filter byte precedes each row); unfiltered
+    // bytes stored as Array[Byte] (values are mod-256 anyway) — an
+    // Array[Int] here would 4x the dominant allocation of a hostile
+    // max-dimension PNG
+    val img = new Array[Byte](rowBytes * height)
     val bpp = channels
     var y = 0
     while (y < height) {
@@ -203,9 +208,9 @@ object BinaryPipeline {
       var x = 0
       while (x < rowBytes) {
         val cur = raw(src + x) & 0xff
-        val a = if (x >= bpp) img(y * rowBytes + x - bpp) else 0
-        val b = if (y > 0) img((y - 1) * rowBytes + x) else 0
-        val c = if (x >= bpp && y > 0) img((y - 1) * rowBytes + x - bpp) else 0
+        val a = if (x >= bpp) img(y * rowBytes + x - bpp) & 0xff else 0
+        val b = if (y > 0) img((y - 1) * rowBytes + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) img((y - 1) * rowBytes + x - bpp) & 0xff else 0
         val v = filter match {
           case 0 => cur
           case 1 => cur + a
@@ -217,7 +222,7 @@ object BinaryPipeline {
             cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
           case _ => return None
         }
-        img(y * rowBytes + x) = v & 0xff
+        img(y * rowBytes + x) = v.toByte
         x += 1
       }
       y += 1
@@ -227,8 +232,9 @@ object BinaryPipeline {
     while (p < width * height) {
       val base = p * channels
       out(p) = colorType match {
-        case 0 | 4 => img(base).toDouble // gray (alpha ignored for luma)
-        case _ => 0.299 * img(base) + 0.587 * img(base + 1) + 0.114 * img(base + 2)
+        case 0 | 4 => (img(base) & 0xff).toDouble // gray (alpha ignored for luma)
+        case _ => 0.299 * (img(base) & 0xff) + 0.587 * (img(base + 1) & 0xff) +
+          0.114 * (img(base + 2) & 0xff)
       }
       p += 1
     }
@@ -649,20 +655,19 @@ object BinaryPipeline {
     * (VideoDeduplication: frame descriptors -> item signature ->
     * pairwise match, `generate_matches.py:57-94`) running on REAL
     * pixels: decode sampled frames (codecs above) -> grid-luma frame
-    * features -> mean-pooled item embedding -> cosine >= threshold
-    * pairs, canonicalized (id_a < id_b). Candidate search here is the
-    * broadcast k-NN baseline (exact, fine up to ~1M items); at corpus
-    * scale swap `Embeddings.srpTopK` in — the item-embedding table has
-    * the exact schema both paths share.
+    * features -> mean-pooled item embedding -> ALL cosine >= threshold
+    * pairs, canonicalized (id_a < id_b) — COMPLETE at the threshold (a
+    * k-NN cut would silently drop qualifying pairs inside duplicate
+    * groups larger than ~k). The broadcast scan is exact, fine up to
+    * ~1M items; at corpus scale swap `Embeddings.srpTopK` in — the
+    * item-embedding table has the exact schema both paths share.
     */
   def mediaDuplicatePairs(media: DataFrame, threshold: Double = 0.995,
-                          stride: Int = 1, dim: Int = 16, k: Int = 10): DataFrame = {
+                          stride: Int = 1, dim: Int = 16): DataFrame = {
     val emb = itemEmbedding(sampleAndFeaturize(media, stride, dim))
       .select(col("id"),
         expr("transform(embedding, x -> cast(x as float))").as("embedding"))
-    graft.functions.Embeddings.bruteForceTopK(emb, emb, k)
-      .where(col("cosine") >= threshold && col("query_id") < col("neighbor_id"))
-      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"), col("cosine"))
+    graft.functions.Embeddings.bruteForceThresholdPairs(emb, threshold)
   }
 
   /** Pairs -> duplicate-group assignments (same CC operator as the text

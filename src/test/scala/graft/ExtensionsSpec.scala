@@ -20,9 +20,15 @@ class ExtensionsSpec extends AnyFunSuite {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     try {
+      // instantiate via the conf-string FQN exactly as Spark's extension
+      // loader does (Class.forName + no-arg ctor) so a class rename or
+      // package drift breaks THIS test, not a customer's spark-submit
+      val ext = Class.forName("graft.GraftExtensions")
+        .getDeclaredConstructor().newInstance()
+        .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
       val s2 = SparkSession.builder()
         .master("local[4]")
-        .withExtensions(new graft.functions.GraftExtensions)
+        .withExtensions(ext)
         .config("spark.sql.shuffle.partitions", "4")
         .getOrCreate()
       assert(s2 ne base, "extensions test needs a freshly-built session")
