@@ -678,6 +678,15 @@ object BinaryPipeline {
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
       .select(col("id"), col("component").as("cluster_id"))
 
+  /** Canonical item per visual duplicate group: highest RESOLUTION wins
+    * (width*height from the real metadata decode — what a curation
+    * pipeline keeps), ties -> min id, singletons kept. Reuses the text
+    * pipeline's keep-list operator unchanged: quality is just a column.
+    */
+  def mediaKeepList(media: DataFrame, clusters: DataFrame): DataFrame =
+    graft.pipeline.Dedup.keepList(decode(media), clusters,
+      (col("width") * col("height")).cast("double"))
+
   /** Item-level aggregate over frame features (the reference's
     * frame->video global-vector mean, `loading_utils.py:77-98`):
     * posexplode to (id, pos, v), codegen'd partial-aggregated `avg` per

@@ -582,6 +582,56 @@ class Round2Spec extends SparkSpecBase {
     assert(cross < 0.7, s"distinct patterns must stay below threshold: $cross")
   }
 
+  test("multimodal: srpTopK swap works on media embeddings; mediaKeepList keeps highest resolution") {
+    import graft.multimodal.BinaryPipeline
+    import graft.functions.Embeddings
+    val spark2 = spark
+    import spark2.implicits._
+    // grid-luma pooling is resolution-invariant for block patterns, so
+    // the same pattern at 16x16 and 32x32 lands in one duplicate group
+    def makePng(size: Int, pattern: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(size, size,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until size).foreach(y => (0 until size).foreach(x =>
+        img.setRGB(x, y, pattern(x * 16 / size, y * 16 / size))))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val left = (x: Int, _: Int) => if (x < 8) 0xffffff else 0
+    val top = (_: Int, y: Int) => if (y < 8) 0xffffff else 0
+    val media = Seq(
+      ("a_small", makePng(16, left)), ("a_big", makePng(32, left)),
+      ("b_small", makePng(16, top)), ("b_big", makePng(32, top))
+    ).toDF("id", "bytes")
+    val pairs = BinaryPipeline.mediaDuplicatePairs(media, threshold = 0.99)
+    val clusters = BinaryPipeline.mediaClusters(pairs)
+    val keep = BinaryPipeline.mediaKeepList(media, clusters)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(keep == Map("a_small" -> false, "a_big" -> true,
+      "b_small" -> false, "b_big" -> true), s"got $keep")
+    // srpTopK (the documented scale swap) finds every planted media
+    // near-dup pair that the threshold-complete scan finds
+    val groups = 60
+    val mediaN = (0 until groups * 3).map(i =>
+      (i.toString, BinaryPipeline.syntheticBmp(i / 3, i % 3 + 1))).toDF("id", "bytes")
+    val emb = BinaryPipeline.itemEmbedding(
+        BinaryPipeline.sampleAndFeaturize(mediaN, stride = 1, dim = 16))
+      .select(col("id"),
+        expr("transform(embedding, x -> cast(x as float))").as("embedding"))
+      .localCheckpoint(true)
+    val want = Embeddings.bruteForceThresholdPairs(emb, 0.9995)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(want.size == groups * 3, s"planted pairs: ${want.size}") // C(3,2)=3 per group
+    val gotSrp = Embeddings.srpTopK(emb, k = 4, bits = 8, tables = 4)
+      .where(col("cosine") >= 0.9995 && col("query_id") < col("neighbor_id"))
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val recall = (want & gotSrp).size.toDouble / want.size
+    assert(recall >= 0.95, s"srp recall on media embeddings: $recall")
+  }
+
   test("suffix-array containment: one SA per hay doc, semantics unchanged") {
     val spark2 = spark
     import spark2.implicits._
