@@ -172,6 +172,62 @@ object Embeddings {
     }(Encoders.row(outSchema))
   }
 
+  /** Threshold join with the SMALL side broadcast and the LARGE side
+    * scanned: the incremental-matching shape (bounded new batch ×
+    * unbounded store — [[bruteForceThresholdPairs]] would collect the
+    * store). Emits canonical (id_a < id_b, string order) pairs with
+    * cosine >= threshold; identical small/large ids are skipped (a row
+    * present on both sides never pairs with itself).
+    */
+  def broadcastThresholdJoin(small: DataFrame, large: DataFrame,
+                             threshold: Double): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val spark = small.sparkSession
+    val smallRows = small.select(col("id").cast("string"), col("embedding")).collect()
+    val sIds = smallRows.map(_.getString(0))
+    val sVecs = smallRows.map(_.getSeq[Float](1).toArray)
+    val bc = spark.sparkContext.broadcast((sIds, sVecs))
+    val outSchema = StructType(Seq(
+      StructField("id_a", StringType), StructField("id_b", StringType),
+      StructField("cosine", DoubleType)))
+    large.select(col("id").cast("string"), col("embedding")).mapPartitions { it =>
+      val (ids, vecs) = bc.value
+      val norms = vecs.map { v =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+        math.sqrt(s)
+      }
+      it.flatMap { r =>
+        val lid = r.getString(0)
+        val lv = r.getSeq[Float](1).toArray
+        var ln = 0.0
+        var d = 0
+        while (d < lv.length) { ln += lv(d).toDouble * lv(d); d += 1 }
+        val lNorm = math.sqrt(ln)
+        ids.indices.iterator.flatMap { i =>
+          if (lid == ids(i)) Iterator.empty
+          else {
+            val v = vecs(i)
+            val cos =
+              if (v.length == lv.length) {
+                if (lNorm == 0.0 || norms(i) == 0.0) 0.0
+                else {
+                  var dot = 0.0; var j = 0
+                  while (j < lv.length) { dot += lv(j).toDouble * v(j); j += 1 }
+                  dot / (lNorm * norms(i))
+                }
+              } else cosArr(lv, v)
+            if (cos >= threshold) {
+              val (a, b) = if (lid < ids(i)) (lid, ids(i)) else (ids(i), lid)
+              Iterator.single(Row(a, b, cos))
+            } else Iterator.empty
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   private def cosArr(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
     var dot = 0.0; var na = 0.0; var nb = 0.0

@@ -662,13 +662,35 @@ object BinaryPipeline {
     * ~1M items; at corpus scale swap `Embeddings.srpTopK` in — the
     * item-embedding table has the exact schema both paths share.
     */
-  def mediaDuplicatePairs(media: DataFrame, threshold: Double = 0.995,
-                          stride: Int = 1, dim: Int = 16): DataFrame = {
-    val emb = itemEmbedding(sampleAndFeaturize(media, stride, dim))
+  /** media(id, bytes) -> item-embedding table (id, embedding float[]) —
+    * the shared input schema of every pair-search path (threshold scan,
+    * srpTopK, incremental).
+    */
+  def mediaEmbeddings(media: DataFrame, stride: Int = 1, dim: Int = 16): DataFrame =
+    itemEmbedding(sampleAndFeaturize(media, stride, dim))
       .select(col("id"),
         expr("transform(embedding, x -> cast(x as float))").as("embedding"))
-    graft.functions.Embeddings.bruteForceThresholdPairs(emb, threshold)
-  }
+
+  def mediaDuplicatePairs(media: DataFrame, threshold: Double = 0.995,
+                          stride: Int = 1, dim: Int = 16): DataFrame =
+    graft.functions.Embeddings.bruteForceThresholdPairs(
+      mediaEmbeddings(media, stride, dim), threshold)
+
+  /** Incremental media matching — the reference fork's periodic loop
+    * (`ray_extract_features.py:241-367`: new items matched against ALL
+    * stored signatures each cadence): within-batch pairs + new x store
+    * pairs, with the BOUNDED new batch broadcast and the UNBOUNDED
+    * store scanned ([[graft.functions.Embeddings.broadcastThresholdJoin]])
+    * — never a collect of the store. Caller appends `newEmb` to the
+    * store afterwards (same contract as IncrementalIngest's signature
+    * flush). Batch-parity: batches' incremental pairs union to exactly
+    * the full-corpus pair set (ids are disjoint across batches).
+    */
+  def incrementalMediaPairs(newEmb: DataFrame, storeEmb: DataFrame,
+                            threshold: Double): DataFrame =
+    graft.functions.Embeddings.bruteForceThresholdPairs(newEmb, threshold)
+      .unionByName(graft.functions.Embeddings
+        .broadcastThresholdJoin(newEmb, storeEmb, threshold))
 
   /** Pairs -> duplicate-group assignments (same CC operator as the text
     * pipeline; cluster id = min member id).

@@ -632,6 +632,33 @@ class Round2Spec extends SparkSpecBase {
     assert(recall >= 0.95, s"srp recall on media embeddings: $recall")
   }
 
+  test("incremental media matching equals the full-batch pair set (new batch broadcast, store scanned)") {
+    import graft.multimodal.BinaryPipeline
+    val spark2 = spark
+    import spark2.implicits._
+    val tau = SparkEntry.mediaDedupThreshold
+    // 40 groups x 3 variants, split across two ingest batches so many
+    // groups straddle the batch boundary (the cross-batch join matters)
+    val all = (0 until 120).map(i =>
+      (i.toString, BinaryPipeline.syntheticBmp(i / 3, i % 3 + 1)))
+    val batch1 = all.filter { case (id, _) => id.toLong % 2 == 0 }
+    val batch2 = all.filter { case (id, _) => id.toLong % 2 == 1 }
+    def embOf(rows: Seq[(String, Array[Byte])]) =
+      BinaryPipeline.mediaEmbeddings(rows.toDF("id", "bytes")).localCheckpoint(true)
+    val e1 = embOf(batch1); val e2 = embOf(batch2)
+    def ps(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val full = ps(BinaryPipeline.mediaDuplicatePairs(all.toDF("id", "bytes"), tau))
+    // ingest batch1 into an empty store, then batch2 against the store
+    val inc1 = ps(BinaryPipeline.incrementalMediaPairs(e1, e1.limit(0), tau))
+    val inc2 = ps(BinaryPipeline.incrementalMediaPairs(e2, e1, tau))
+    assert(inc1.intersect(inc2).isEmpty)
+    assert((inc1 ++ inc2) == full,
+      s"missing=${full -- inc1 -- inc2} extra=${(inc1 ++ inc2) -- full}")
+    assert(full.size == 40 * 3) // C(3,2)=3 pairs per planted group
+  }
+
   test("suffix-array containment: one SA per hay doc, semantics unchanged") {
     val spark2 = spark
     import spark2.implicits._
