@@ -709,6 +709,33 @@ object BinaryPipeline {
     graft.pipeline.Dedup.keepList(decode(media), clusters,
       (col("width") * col("height")).cast("double"))
 
+  /** Scene-boundary detection over ACTUAL media frames — the
+    * reference's real scene_detection domain
+    * (`winnow/utils/scene_detection.py:114-173`: frame-to-frame
+    * distance vs a per-item 90th-percentile threshold): sampled frame
+    * features -> cosine distance between adjacent frames (lag window
+    * partitioned by item) -> the shared threshold/cut/segment core
+    * (`Segmentation.assignFromDeltas`) -> per-scene stats (frame count,
+    * first/last frame index).
+    */
+  def mediaScenes(media: DataFrame, stride: Int = 1, dim: Int = 16,
+                  pct: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = sampleAndFeaturize(media, stride, dim).toDF()
+    val w = Window.partitionBy("id").orderBy(col("frameIdx").asc)
+    val withDelta = frames
+      .withColumn("prev", lag(col("feature"), 1).over(w))
+      .withColumn("delta", when(col("prev").isNull, lit(null).cast("double"))
+        .otherwise(lit(1.0) - graft.functions.Embeddings.cosine(col("feature"), col("prev"))))
+      .drop("prev")
+    graft.queries.Segmentation
+      .assignFromDeltas(withDelta, "id", Seq(col("frameIdx").asc), pct)
+      .groupBy(col("id"), col("seg_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        min(col("frameIdx")).as("frame_min"),
+        max(col("frameIdx")).as("frame_max"))
+  }
+
   /** Item-level aggregate over frame features (the reference's
     * frame->video global-vector mean, `loading_utils.py:77-98`):
     * posexplode to (id, pos, v), codegen'd partial-aggregated `avg` per

@@ -33,20 +33,33 @@ object Segmentation {
     val w = Window.partitionBy(partitionCol).orderBy(order: _*)
     val withDelta = events
       .withColumn("delta", abs(col(valueCol) - lag(col(valueCol), 1).over(w)))
+    assignFromDeltas(withDelta, partitionCol, order, pct)
+      .select(col(partitionCol), col(idCol), col(tsCol), col(valueCol),
+        col("delta"), col("seg_id"))
+  }
+
+  /** Threshold + cut + running segment id over a frame that already
+    * carries a nullable `delta` column (null on each partition's first
+    * unit). The generic core shared by the event-stream path above and
+    * the media frame-distance path (`BinaryPipeline.mediaScenes`, where
+    * delta = cosine distance between adjacent frame feature vectors).
+    */
+  def assignFromDeltas(withDelta: DataFrame, partitionCol: String,
+                       order: Seq[org.apache.spark.sql.Column],
+                       pct: Double): DataFrame = {
+    val w = Window.partitionBy(partitionCol).orderBy(order: _*)
     // per-item threshold: exact interpolated percentile of the deltas
     // (scene_detection.py:143-144); grouped agg + re-join keeps the plan
     // shuffle-partitioned by the item key throughout
     val thr = withDelta.where(col("delta").isNotNull)
       .groupBy(partitionCol)
       .agg(expr(s"percentile(delta, $pct)").as("thr"))
-    val cut = withDelta.join(thr, Seq(partitionCol), "left_outer")
+    withDelta.join(thr, Seq(partitionCol), "left_outer")
       .withColumn("cut",
         when(col("delta").isNotNull &&
           round(col("delta"), 6) > round(col("thr"), 6), 1).otherwise(0))
-    cut.withColumn("seg_id",
+      .withColumn("seg_id",
         sum(col("cut")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col(partitionCol), col(idCol), col(tsCol), col(valueCol),
-        col("delta"), col("seg_id"))
   }
 
   /** A9 per-segment stats (scene_detection.py:159-172): row count, mean

@@ -659,6 +659,50 @@ class Round2Spec extends SparkSpecBase {
     assert(full.size == 40 * 3) // C(3,2)=3 pairs per planted group
   }
 
+  test("multimodal: scene detection over real animated-gif frames (frame-distance cuts)") {
+    import graft.multimodal.BinaryPipeline
+    val spark2 = spark
+    import spark2.implicits._
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    // 4x4 frames over a 2-color palette; literal-code LZW (16 pixels +
+    // clear + eoi stays within 3-bit codes after growth handling)
+    def frameBlock(pix: Seq[Int]): Array[Byte] = {
+      var codeSize = 3; var dictSize = 6
+      val bits = scala.collection.mutable.ArrayBuffer[Int]()
+      var first = true
+      (4 +: pix :+ 5).foreach { c =>
+        (0 until codeSize).foreach(i => bits += ((c >> i) & 1))
+        if (c != 4) {
+          if (first) first = false
+          else {
+            dictSize += 1
+            if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+          }
+        }
+      }
+      val lzw = bits.grouped(8).map(g =>
+        g.zipWithIndex.map { case (b, i) => b << i }.sum.toByte).toArray
+      Array[Byte](0x2c) ++ le16(0) ++ le16(0) ++ le16(4) ++ le16(4) ++
+        Array[Byte](0, 2, lzw.length.toByte) ++ lzw ++ Array[Byte](0)
+    }
+    val leftWhite = (0 until 16).map(i => if (i % 4 < 2) 1 else 0)
+    val topWhite = (0 until 16).map(i => if (i / 4 < 2) 1 else 0)
+    val palette = Array[Byte](0, 0, 0, 255.toByte, 255.toByte, 255.toByte,
+      0, 0, 0, 0, 0, 0)
+    // 6 frames: 3x scene A (left-white), then 3x scene B (top-white)
+    val gif = "GIF89a".getBytes("US-ASCII") ++ le16(4) ++ le16(4) ++
+      Array[Byte](0x91.toByte, 0, 0) ++ palette ++
+      (Seq.fill(3)(frameBlock(leftWhite)) ++ Seq.fill(3)(frameBlock(topWhite)))
+        .reduce(_ ++ _) ++ Array[Byte](0x3b)
+    assert(BinaryPipeline.decodeMeta(gif).nFrames == 6)
+    val scenes = BinaryPipeline.mediaScenes(
+        Seq(("vid", gif)).toDF("id", "bytes"), stride = 1, dim = 4)
+      .collect().map(r => (r.getLong(1), (r.getLong(2), r.getInt(3), r.getInt(4))))
+      .toMap // seg_id -> (n_frames, frame_min, frame_max)
+    assert(scenes == Map(0L -> ((3L, 0, 2)), 1L -> ((3L, 3, 5))),
+      s"expected two 3-frame scenes cut at frame 3: $scenes")
+  }
+
   test("suffix-array containment: one SA per hay doc, semantics unchanged") {
     val spark2 = spark
     import spark2.implicits._
