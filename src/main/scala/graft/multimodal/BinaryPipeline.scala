@@ -709,6 +709,99 @@ object BinaryPipeline {
     graft.pipeline.Dedup.keepList(decode(media), clusters,
       (col("width") * col("height")).cast("double"))
 
+  /** REAL PCM decode for RIFF/WAVE (PCM format 1, 8- or 16-bit, any
+    * channel count — channels mean-mixed to mono, samples normalized to
+    * [-1, 1]): pure byte parsing of the RIFF chunk list, no codec
+    * dependency. None for compressed/float WAV or non-WAV bytes.
+    */
+  def decodeWavPcm(bytes: Array[Byte]): Option[(Int, Array[Double])] = {
+    if (bytes == null || bytes.length < 44) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = le16(i) | (le16(i + 2) << 16)
+    def tag(i: Int, s: String) = s.indices.forall(j => u8(i + j) == s(j))
+    if (!tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var pos = 12
+    var channels = 0; var rate = 0; var bits = 0; var fmtOk = false
+    var samples: Array[Double] = null
+    while (pos + 8 <= bytes.length && samples == null) {
+      val size = le32(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      if (tag(pos, "fmt ")) {
+        if (size < 16) return None
+        val audioFormat = le16(pos + 8)
+        channels = le16(pos + 10); rate = le32(pos + 12); bits = le16(pos + 22)
+        fmtOk = audioFormat == 1 && channels > 0 && rate > 0 &&
+          (bits == 8 || bits == 16)
+        if (!fmtOk) return None
+      } else if (tag(pos, "data")) {
+        if (!fmtOk) return None // data before fmt: malformed
+        val bytesPerSample = bits / 8
+        val frameBytes = bytesPerSample * channels
+        val nFrames = size / frameBytes
+        if (nFrames.toLong * 1 > (1L << 28)) return None // bound decode
+        val out = new Array[Double](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0.0
+          var c = 0
+          while (c < channels) {
+            val off = pos + 8 + f * frameBytes + c * bytesPerSample
+            acc += (if (bits == 8) (u8(off) - 128) / 128.0
+                    else (le16(off).toShort) / 32768.0)
+            c += 1
+          }
+          out(f) = acc / channels
+          f += 1
+        }
+        samples = out
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (samples == null) None else Some((rate, samples))
+  }
+
+  /** Windowed audio features over decoded PCM: per `window` samples emit
+    * [rms, zero-crossing rate, mean |x|, peak] — deterministic,
+    * discriminates pitch (zcr) and loudness (rms/peak). Audio items
+    * flow through the SAME Frame schema as video frames, so item
+    * embedding, duplicate pairs, keep-list and scene segmentation all
+    * apply unchanged. Undecodable bytes emit one stub frame (pipeline
+    * stays total).
+    */
+  def audioFrames(media: DataFrame, window: Int = 1024): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("string"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeWavPcm(bytes) match {
+            case Some((_, pcm)) =>
+              val n = math.max(1, pcm.length / window)
+              (0 until n).iterator.map { wi =>
+                val from = wi * window
+                val until = math.min(pcm.length, from + window)
+                var sq = 0.0; var zc = 0; var ma = 0.0; var pk = 0.0
+                var i = from
+                while (i < until) {
+                  val x = pcm(i)
+                  sq += x * x; ma += math.abs(x)
+                  if (math.abs(x) > pk) pk = math.abs(x)
+                  if (i > from && (pcm(i - 1) < 0) != (x < 0)) zc += 1
+                  i += 1
+                }
+                val len = until - from
+                Frame(id, wi, Array(
+                  math.sqrt(sq / len).toFloat, zc.toFloat / len,
+                  (ma / len).toFloat, pk.toFloat))
+              }
+            case None => Iterator.single(Frame(id, 0, featurizeStub(bytes, 0, 4)))
+          }
+        }
+      }
+  }
+
   /** Scene-boundary detection over ACTUAL media frames — the
     * reference's real scene_detection domain
     * (`winnow/utils/scene_detection.py:114-173`: frame-to-frame

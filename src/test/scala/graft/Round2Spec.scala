@@ -703,6 +703,54 @@ class Round2Spec extends SparkSpecBase {
       s"expected two 3-frame scenes cut at frame 3: $scenes")
   }
 
+  test("multimodal: real WAV/PCM decode + audio near-dup through the shared frame pipeline") {
+    import graft.multimodal.BinaryPipeline
+    import graft.functions.Embeddings
+    val spark2 = spark
+    import spark2.implicits._
+    def le16b(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32b(v: Int) = le16b(v & 0xffff) ++ le16b((v >> 16) & 0xffff)
+    def makeWav(freq: Double, amp: Double, rate: Int = 8000,
+                seconds: Double = 0.5): Array[Byte] = {
+      val n = (rate * seconds).toInt
+      val data = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        val v = (amp * math.sin(2 * math.Pi * freq * i / rate) * 32767).toInt
+        data(i * 2) = (v & 0xff).toByte
+        data(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      }
+      "RIFF".getBytes("US-ASCII") ++ le32b(36 + data.length) ++
+        "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32b(16) ++ le16b(1) ++ le16b(1) ++
+        le32b(rate) ++ le32b(rate * 2) ++ le16b(2) ++ le16b(16) ++
+        "data".getBytes("US-ASCII") ++ le32b(data.length) ++ data
+    }
+    // decode roundtrip: rate + sample values recovered
+    val wav = makeWav(440.0, 0.5)
+    val Some((rate, pcm)) = BinaryPipeline.decodeWavPcm(wav)
+    assert(rate == 8000 && pcm.length == 4000)
+    assert(math.abs(pcm(0)) < 1e-4) // sin(0) = 0
+    assert(pcm.max > 0.49 && pcm.min < -0.49)
+    // near-dup audio: same pitch at slightly different loudness pairs up;
+    // the octave-apart clip (2x zero-crossing rate) stays out
+    val media = Seq(
+      ("tone_a", makeWav(440.0, 0.5)), ("tone_a2", makeWav(440.0, 0.52)),
+      ("tone_b", makeWav(880.0, 0.5))).toDF("id", "bytes")
+    val emb = BinaryPipeline.itemEmbedding(BinaryPipeline.audioFrames(media))
+      .select(col("id"),
+        expr("transform(embedding, x -> cast(x as float))").as("embedding"))
+    val pairs = Embeddings.bruteForceThresholdPairs(emb, 0.999)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.map(p => (p._1, p._2)) == Set(("tone_a", "tone_a2")), s"got $pairs")
+    // undecodable bytes fall back to one stub frame
+    val junk = Array.tabulate[Byte](100)(i => (i * 7).toByte)
+    val stubFrames = BinaryPipeline.audioFrames(
+      Seq(("x", junk)).toDF("id", "bytes")).collect()
+    assert(stubFrames.length == 1 &&
+      stubFrames.head.feature.toSeq ==
+        BinaryPipeline.featurizeStub(junk, 0, 4).toSeq)
+  }
+
   test("suffix-array containment: one SA per hay doc, semantics unchanged") {
     val spark2 = spark
     import spark2.implicits._
