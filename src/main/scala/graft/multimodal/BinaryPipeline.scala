@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   *     reference's pooled-activation descriptor shape).
   * Header metadata is a spec byte parse (`decodeImageHeader`), enriched
   * with ImageIO's real frame count. A deterministic STUB remains ONLY
-  * for genuinely undecodable bytes (video/audio containers — the JDK
+  * for genuinely undecodable bytes (compressed-audio/video containers — the JDK
   * has no codecs for those), keeping the pipeline total.
   *
   * The Spark-side plumbing is real
@@ -492,7 +492,8 @@ object BinaryPipeline {
     * decoders first (frame 0: BMP/PNG/GIF, bit-tested), then the JDK
     * ImageIO codecs (jpeg, animation frames via `frameIdx`);
     * deterministic stub only for genuinely undecodable bytes
-    * (video/audio containers — no codecs for those in the JDK).
+    * (compressed-audio/video containers — no codecs for those in the JDK;
+    * WAV/PCM audio is REAL via [[decodeWavPcm]]/[[audioFrames]]).
     */
   def featurize(bytes: Array[Byte], frameIdx: Int, dim: Int = 16): Array[Float] = {
     val px = if (frameIdx == 0) decodePixels(bytes).orElse(decodeImageIOFrame(bytes, 0))
