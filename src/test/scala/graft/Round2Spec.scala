@@ -751,6 +751,32 @@ class Round2Spec extends SparkSpecBase {
         BinaryPipeline.featurizeStub(junk, 0, 4).toSeq)
   }
 
+  test("multimodal hardening: null/empty/junk bytes flow through without errors") {
+    import graft.multimodal.BinaryPipeline
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq(
+      ("nul", null.asInstanceOf[Array[Byte]]),
+      ("empty", Array.empty[Byte]),
+      ("junk", Array.tabulate[Byte](64)(i => (i * 13).toByte)),
+      ("real", BinaryPipeline.syntheticBmp(1L, 1))
+    ).toDF("id", "bytes")
+    val meta = BinaryPipeline.decode(media).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(meta("nul") == "empty" && meta("empty") == "empty" &&
+      meta("real") == "bmp")
+    val frames = BinaryPipeline.sampleAndFeaturize(media, stride = 1, dim = 4)
+      .collect().groupBy(_.id)
+    assert(frames.contains("real") && frames.contains("junk"))
+    assert(!frames.contains("nul") && !frames.contains("empty"),
+      "zero-frame media emits no rows") // decodeStub nFrames=0 for empty
+    // pair search over the mixed table: no crash, only real-vs-real space
+    assert(BinaryPipeline.mediaDuplicatePairs(media, threshold = 0.9999).count() == 0)
+    // audio path on the same hostile inputs
+    val af = BinaryPipeline.audioFrames(media).collect().groupBy(_.id)
+    assert(af("junk").length == 1) // stub frame
+  }
+
   test("suffix-array containment: one SA per hay doc, semantics unchanged") {
     val spark2 = spark
     import spark2.implicits._
