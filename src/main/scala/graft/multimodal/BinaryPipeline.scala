@@ -312,11 +312,14 @@ object BinaryPipeline {
     Some(out)
   }
 
-  /** REAL pixel decode for non-interlaced GIF87a/89a (first image
-    * frame): global/local color table lookup after a from-scratch LZW
+  /** REAL pixel decode for GIF87a/89a (first image frame, interlaced or
+    * not): global/local color table lookup after a from-scratch LZW
     * decompress ([[lzwDecode]] — GIF's LZW is plain bit arithmetic, no
-    * codec library involved). Extensions (GCE/comment/application) are
-    * skipped; interlaced frames and missing palettes return None.
+    * codec library involved), interlace undone by the spec's 4-pass row
+    * permutation. Extensions (GCE/comment/application) are skipped;
+    * missing palettes return None. Differentially tested bit-equal
+    * against the JDK's gif codec on randomized images (which the JDK
+    * writer emits interlaced, with real dictionary-compressed LZW).
     */
   def decodeGifPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
     if (bytes == null || bytes.length < 14) return None
@@ -339,7 +342,9 @@ object BinaryPipeline {
           if (pos + 10 > bytes.length) return None
           val iw = le16(pos + 5); val ih = le16(pos + 7)
           val ipacked = u8(pos + 9)
-          if (((ipacked >> 6) & 1) == 1) return None // interlaced
+          // interlace = a fixed 4-pass row permutation (rows 0,8,16…,
+          // then 4,12…, then 2,6…, then odd rows) applied on assembly
+          val interlaced = ((ipacked >> 6) & 1) == 1
           val lctSize = if ((ipacked >> 7) == 1) 2 << (ipacked & 7) else 0
           val palOff = if (lctSize > 0) pos + 10 else gctOff
           val palSize = if (lctSize > 0) lctSize else gctSize
@@ -358,12 +363,20 @@ object BinaryPipeline {
           lzwDecode(data.toByteArray, minCodeSize, iw * ih) match {
             case None => return None
             case Some(idx) =>
+              val rowOf: Int => Int =
+                if (!interlaced) identity
+                else {
+                  val order = ((0 until ih by 8) ++ (4 until ih by 8) ++
+                    (2 until ih by 4) ++ (1 until ih by 2)).toArray
+                  order(_)
+                }
               val out = new Array[Double](iw * ih)
               var i = 0
               while (i < idx.length) {
                 if (idx(i) >= palSize) return None // index outside palette
                 val b = palOff + idx(i) * 3
-                out(i) = 0.299 * u8(b) + 0.587 * u8(b + 1) + 0.114 * u8(b + 2)
+                out(rowOf(i / iw) * iw + i % iw) =
+                  0.299 * u8(b) + 0.587 * u8(b + 1) + 0.114 * u8(b + 2)
                 i += 1
               }
               return Some((iw, ih, out))

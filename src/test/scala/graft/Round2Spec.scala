@@ -473,11 +473,15 @@ class Round2Spec extends SparkSpecBase {
     // featurize takes the real GIF path
     assert(BinaryPipeline.featurize(gif, 0, dim = 4).toSeq ==
       BinaryPipeline.gridLumaFeature(w, h, luma, grid = 2).toSeq)
-    // corrupt inputs fall back cleanly: truncated stream, interlaced flag
+    // corrupt inputs fall back cleanly: truncated stream
     assert(BinaryPipeline.decodeGifPixels(gif.dropRight(6)).isEmpty)
+    // interlace flag = 4-pass row permutation on assembly: for h=3 the
+    // transmission rows [0,1,2] land on actual rows [0,2,1]
     val interlaced = gif.clone()
     interlaced(13 + palette.length + 8 + 9) = 0x40.toByte // image-desc packed
-    assert(BinaryPipeline.decodeGifPixels(interlaced).isEmpty)
+    val Some((_, _, il)) = BinaryPipeline.decodeGifPixels(interlaced)
+    val rows = luma.grouped(4).toArray
+    assert(il.toSeq == (rows(0) ++ rows(2) ++ rows(1)).toSeq)
   }
 
   test("multimodal: JDK ImageIO codec path — jpeg decode, animated-gif frames, pure==codec parity") {
@@ -775,6 +779,46 @@ class Round2Spec extends SparkSpecBase {
     // audio path on the same hostile inputs
     val af = BinaryPipeline.audioFrames(media).collect().groupBy(_.id)
     assert(af("junk").length == 1) // stub frame
+  }
+
+  test("differential: pure spec decoders bit-equal the JDK codecs on randomized images") {
+    import graft.multimodal.BinaryPipeline
+    val rnd = new scala.util.Random(77L)
+    def write(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"writer for $fmt")
+      bos.toByteArray
+    }
+    var gifDecoded = 0
+    for (t <- 0 until 10) {
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(40)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.setRGB(x, y, rnd.nextInt(1 << 24))))
+      for ((fmt, pure) <- Seq(
+        ("png", BinaryPipeline.decodePngPixels _),
+        ("bmp", BinaryPipeline.decodeBmpPixels _),
+        ("gif", BinaryPipeline.decodeGifPixels _))) {
+        val bytes = write(img, fmt)
+        val codec = BinaryPipeline.decodeImageIOFrame(bytes, 0)
+        assert(codec.isDefined, s"$fmt t=$t codec decode")
+        pure(bytes) match {
+          case Some((pw, ph, pl)) =>
+            assert((pw, ph) == (w, h), s"$fmt t=$t dims")
+            assert(pl.toSeq == codec.get._3.toSeq, s"$fmt t=$t luma mismatch")
+            if (fmt == "gif") gifDecoded += 1
+          case None =>
+            // only acceptable for layouts the pure decoder declares out of
+            // scope; the JDK writers emit 24bpp BMP / 8-bit PNG, so those
+            // must always take the pure path
+            assert(fmt == "gif", s"$fmt t=$t pure decoder refused a JDK-written file")
+        }
+      }
+    }
+    // the JDK gif writer emits real LZW (dictionary hits, not literals):
+    // the from-scratch decoder must handle at least most of them
+    assert(gifDecoded >= 8, s"pure gif decoder handled only $gifDecoded/10")
   }
 
   test("suffix-array containment: one SA per hay doc, semantics unchanged") {
