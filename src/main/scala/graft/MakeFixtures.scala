@@ -18,7 +18,8 @@ object MakeFixtures {
   /** Queries pinned by fixture, with the sf dir the driver verifies at. */
   val fixtureQueries: Seq[String] =
     Seq("q_simhash_pairs", "q_doc_fingerprints", "q_ann_srp", "q_ann_ivf",
-      "q_html_meta", "q_lang_id", "q_winnow_fp", "q_media_dedup")
+      "q_html_meta", "q_lang_id", "q_winnow_fp", "q_media_dedup",
+      "q_audio_dedup")
   val sfDir = "/root/testdata/sf0.01"
 
   /** Optional args = subset of fixture names to regenerate (avoids

@@ -42,6 +42,19 @@ object SparkEntry {
       .toDF("id", "bytes")
   }
 
+  /** Planted audio near-dup corpus: same grouping scheme as
+    * [[syntheticMedia]], pure tones instead of images.
+    */
+  private[graft] val audioDedupThreshold = 0.9999
+  private[graft] def syntheticAudio(s: SparkSession, dir: String): DataFrame = {
+    val spark2 = s
+    import spark2.implicits._
+    documents(s, dir).select(col("doc_id")).as[Long]
+      .map(d => (d.toString,
+        graft.multimodal.BinaryPipeline.syntheticWav(d / 5, (d % 5).toInt + 1)))
+      .toDF("id", "bytes")
+  }
+
   private def pairsOut(df: DataFrame): DataFrame =
     df.select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"), col("jaccard"))
 
@@ -273,6 +286,19 @@ object SparkEntry {
         .mediaDuplicatePairs(syntheticMedia(s, dir), mediaDedupThreshold)
         .select(col("id_a").cast("long").as("doc_id_a"),
           col("id_b").cast("long").as("doc_id_b"), col("cosine"))),
+    // audio near-dup dedup: REAL WAV/PCM decode -> windowed features ->
+    // item embedding -> threshold pairs (fixture oracle, same planted
+    // grouping as q_media_dedup over pure tones)
+    "q_audio_dedup" -> ((s, dir) => {
+      import graft.multimodal.BinaryPipeline
+      val emb = BinaryPipeline.itemEmbedding(
+          BinaryPipeline.audioFrames(syntheticAudio(s, dir)))
+        .select(col("id"),
+          expr("transform(embedding, x -> cast(x as float))").as("embedding"))
+      graft.functions.Embeddings.bruteForceThresholdPairs(emb, audioDedupThreshold)
+        .select(col("id_a").cast("long").as("doc_id_a"),
+          col("id_b").cast("long").as("doc_id_b"), col("cosine"))
+    }),
     // --- relational anchors (generic operator correctness) --------------
     // sums emitted as round(.,2) doubles on BOTH sides: engines widen
     // decimal sums differently (Spark dec(28,2) vs DuckDB HUGEINT-backed
@@ -407,6 +433,8 @@ object SparkEntry {
       "SELECT doc_id, lang_id FROM '/root/repo/fixtures/q_lang_id.parquet'",
     "q_media_dedup" ->
       "SELECT doc_id_a, doc_id_b, cosine FROM '/root/repo/fixtures/q_media_dedup.parquet'",
+    "q_audio_dedup" ->
+      "SELECT doc_id_a, doc_id_b, cosine FROM '/root/repo/fixtures/q_audio_dedup.parquet'",
     "q_winnow_fp" ->
       "SELECT doc_id, fp FROM '/root/repo/fixtures/q_winnow_fp.parquet'",
     // same arithmetic, same operand order, round(.,6) both engines;

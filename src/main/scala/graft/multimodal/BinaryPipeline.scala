@@ -665,6 +665,42 @@ object BinaryPipeline {
     out.array()
   }
 
+  /** Deterministic synthetic mono 16-bit PCM WAV for tests and fixtures:
+    * a pure tone whose frequency and base loudness derive from `group`
+    * (avalanche-mixed), `noise` scales the amplitude by a few percent —
+    * planted audio near-dups (same group -> same pitch, cosine ~1 over
+    * the windowed features; different group -> different pitch/loudness).
+    * StrictMath keeps the samples bit-identical across platforms.
+    */
+  def syntheticWav(group: Long, noise: Int): Array[Byte] = {
+    // frequency UNIQUE per group (sequential spacing, below Nyquist of
+    // the 4 kHz rate) so the planted structure is exactly the groups;
+    // noise scales only the amplitude (cosine-small within a group)
+    val freq = 150.0 + 16.0 * java.lang.Math.floorMod(group, 100L)
+    val amp = (0.3 + java.lang.Math.floorMod(group * 7, 13L) / 40.0) *
+      (1.0 + noise * 0.002)
+    val rate = 4000
+    val n = 1000
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (amp * StrictMath.sin(2 * StrictMath.PI * freq * i / rate) * 32767).toInt
+      data(i * 2) = (v & 0xff).toByte
+      data(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val out = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(data.length)
+      .put(data)
+    out.array()
+  }
+
   /** Visual near-duplicate pairs — the reference's OWN domain
     * (VideoDeduplication: frame descriptors -> item signature ->
     * pairwise match, `generate_matches.py:57-94`) running on REAL
@@ -775,13 +811,20 @@ object BinaryPipeline {
     if (samples == null) None else Some((rate, samples))
   }
 
-  /** Windowed audio features over decoded PCM: per `window` samples emit
-    * [rms, zero-crossing rate, mean |x|, peak] — deterministic,
-    * discriminates pitch (zcr) and loudness (rms/peak). Audio items
-    * flow through the SAME Frame schema as video frames, so item
-    * embedding, duplicate pairs, keep-list and scene segmentation all
-    * apply unchanged. Undecodable bytes emit one stub frame (pipeline
-    * stays total).
+  /** Audio frame-feature width: [rms, zcr, meanAbs, peak, ac2, ac4,
+    * ac8, ac16].
+    */
+  val AudioFeatureDim = 8
+
+  /** Windowed audio features over decoded PCM: energy stats (rms,
+    * zero-crossing rate, mean |x|, peak) PLUS normalized
+    * autocorrelation at lags 2/4/8/16 — the ac terms are
+    * pitch-sensitive and SIGN-VARYING, so tones that energy stats
+    * cannot separate (loudness scales cancel in cosine) land far apart.
+    * Audio items flow through the SAME Frame schema as video frames, so
+    * item embedding, duplicate pairs, keep-list and scene segmentation
+    * all apply unchanged. Undecodable bytes emit one stub frame
+    * (pipeline stays total).
     */
   def audioFrames(media: DataFrame, window: Int = 1024): Dataset[Frame] = {
     val spark = media.sparkSession
@@ -796,6 +839,7 @@ object BinaryPipeline {
               (0 until n).iterator.map { wi =>
                 val from = wi * window
                 val until = math.min(pcm.length, from + window)
+                val len = until - from
                 var sq = 0.0; var zc = 0; var ma = 0.0; var pk = 0.0
                 var i = from
                 while (i < until) {
@@ -805,12 +849,22 @@ object BinaryPipeline {
                   if (i > from && (pcm(i - 1) < 0) != (x < 0)) zc += 1
                   i += 1
                 }
-                val len = until - from
+                val lags = Array(2, 4, 8, 16)
+                val ac = lags.map { lag =>
+                  if (sq == 0.0 || len <= lag) 0.0f
+                  else {
+                    var s = 0.0
+                    var j = from
+                    while (j < until - lag) { s += pcm(j) * pcm(j + lag); j += 1 }
+                    (s / sq).toFloat
+                  }
+                }
                 Frame(id, wi, Array(
                   math.sqrt(sq / len).toFloat, zc.toFloat / len,
-                  (ma / len).toFloat, pk.toFloat))
+                  (ma / len).toFloat, pk.toFloat) ++ ac)
               }
-            case None => Iterator.single(Frame(id, 0, featurizeStub(bytes, 0, 4)))
+            case None =>
+              Iterator.single(Frame(id, 0, featurizeStub(bytes, 0, AudioFeatureDim)))
           }
         }
       }

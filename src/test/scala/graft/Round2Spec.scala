@@ -752,7 +752,7 @@ class Round2Spec extends SparkSpecBase {
       Seq(("x", junk)).toDF("id", "bytes")).collect()
     assert(stubFrames.length == 1 &&
       stubFrames.head.feature.toSeq ==
-        BinaryPipeline.featurizeStub(junk, 0, 4).toSeq)
+        BinaryPipeline.featurizeStub(junk, 0, BinaryPipeline.AudioFeatureDim).toSeq)
   }
 
   test("multimodal hardening: null/empty/junk bytes flow through without errors") {
