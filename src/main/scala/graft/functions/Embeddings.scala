@@ -50,39 +50,22 @@ object Embeddings {
       StructField("cosine", DoubleType)))
     val partial = qdf.mapPartitions { it =>
       val (ids, vecs) = bc.value
-      // corpus norms once per task, not once per (query, vec) pair;
-      // dot/(sqrt(na)*sqrt(nb)) with hoisted sqrt values is the SAME
-      // float expression as cosArr when dims match (oracle bit-parity),
-      // cosArr fallback covers ragged dims (min-length semantics)
-      val norms = vecs.map { v =>
-        var s = 0.0; var i = 0
-        while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
-        math.sqrt(s)
-      }
+      // corpus norms once per task, not once per (query, vec) pair
+      // (cosPre is bit-identical to cosArr — oracle parity)
+      val norms = vecs.map(norm)
       it.flatMap { r =>
         val qid = r.get(0)
         val q = r.getSeq[Float](1).toArray
         val n = vecs.length
-        var qn = 0.0
-        var d = 0
-        while (d < q.length) { qn += q(d).toDouble * q(d); d += 1 }
-        qn = math.sqrt(qn)
+        val qn = norm(q)
         if (n == 0) Iterator.empty
         else {
           val sims = new Array[Double](n)
           var i = 0
           while (i < n) {
-            val v = vecs(i)
             sims(i) =
               if (qid == ids(i)) Double.NegativeInfinity // self
-              else if (v.length == q.length) {
-                if (qn == 0.0 || norms(i) == 0.0) 0.0
-                else {
-                  var dot = 0.0; var j = 0
-                  while (j < q.length) { dot += q(j).toDouble * v(j); j += 1 }
-                  dot / (qn * norms(i))
-                }
-              } else cosArr(q, v)
+              else cosPre(q, qn, vecs(i), norms(i))
             i += 1
           }
           // k-th largest via a primitive sorted-k buffer (no boxed
@@ -138,32 +121,16 @@ object Embeddings {
       StructField("cosine", DoubleType)))
     e.mapPartitions { it =>
       val (ids, vecs) = bc.value
-      val norms = vecs.map { v =>
-        var s = 0.0; var i = 0
-        while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
-        math.sqrt(s)
-      }
+      val norms = vecs.map(norm)
       it.flatMap { r =>
         val qid = r.getString(0)
         val q = r.getSeq[Float](1).toArray
-        var qn = 0.0
-        var d = 0
-        while (d < q.length) { qn += q(d).toDouble * q(d); d += 1 }
-        val qNorm = math.sqrt(qn)
+        val qNorm = norm(q)
         ids.indices.iterator.flatMap { i =>
           // canonical orientation only: each unordered pair scanned once
           if (qid >= ids(i)) Iterator.empty
           else {
-            val v = vecs(i)
-            val cos =
-              if (v.length == q.length) {
-                if (qNorm == 0.0 || norms(i) == 0.0) 0.0
-                else {
-                  var dot = 0.0; var j = 0
-                  while (j < q.length) { dot += q(j).toDouble * v(j); j += 1 }
-                  dot / (qNorm * norms(i))
-                }
-              } else cosArr(q, v)
+            val cos = cosPre(q, qNorm, vecs(i), norms(i))
             if (cos >= threshold) Iterator.single(Row(qid, ids(i), cos))
             else Iterator.empty
           }
@@ -193,31 +160,15 @@ object Embeddings {
       StructField("cosine", DoubleType)))
     large.select(col("id").cast("string"), col("embedding")).mapPartitions { it =>
       val (ids, vecs) = bc.value
-      val norms = vecs.map { v =>
-        var s = 0.0; var i = 0
-        while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
-        math.sqrt(s)
-      }
+      val norms = vecs.map(norm)
       it.flatMap { r =>
         val lid = r.getString(0)
         val lv = r.getSeq[Float](1).toArray
-        var ln = 0.0
-        var d = 0
-        while (d < lv.length) { ln += lv(d).toDouble * lv(d); d += 1 }
-        val lNorm = math.sqrt(ln)
+        val lNorm = norm(lv)
         ids.indices.iterator.flatMap { i =>
           if (lid == ids(i)) Iterator.empty
           else {
-            val v = vecs(i)
-            val cos =
-              if (v.length == lv.length) {
-                if (lNorm == 0.0 || norms(i) == 0.0) 0.0
-                else {
-                  var dot = 0.0; var j = 0
-                  while (j < lv.length) { dot += lv(j).toDouble * v(j); j += 1 }
-                  dot / (lNorm * norms(i))
-                }
-              } else cosArr(lv, v)
+            val cos = cosPre(lv, lNorm, vecs(i), norms(i))
             if (cos >= threshold) {
               val (a, b) = if (lid < ids(i)) (lid, ids(i)) else (ids(i), lid)
               Iterator.single(Row(a, b, cos))
@@ -227,6 +178,28 @@ object Embeddings {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Euclidean norm of a float vector (double accumulation). */
+  private def norm(v: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Cosine with pre-computed norms — SAME float expression (and hence
+    * bit-identical result) as [[cosArr]] when dims match; cosArr
+    * fallback keeps min-length semantics for ragged dims.
+    */
+  private def cosPre(q: Array[Float], qn: Double,
+                     v: Array[Float], vn: Double): Double =
+    if (v.length == q.length) {
+      if (qn == 0.0 || vn == 0.0) 0.0
+      else {
+        var dot = 0.0; var j = 0
+        while (j < q.length) { dot += q(j).toDouble * v(j); j += 1 }
+        dot / (qn * vn)
+      }
+    } else cosArr(q, v)
 
   private def cosArr(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
