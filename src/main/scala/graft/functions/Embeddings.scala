@@ -361,4 +361,30 @@ object Embeddings {
       .dropDuplicates("query_id", "neighbor_id")
     topKRanked(cands, k)
   }
+
+  /** ALL canonical pairs with cosine >= threshold via the SRP-LSH bucket
+    * join — the production-scale swap for [[bruteForceThresholdPairs]]
+    * (which is exact but collects the corpus): no per-item k cap, no
+    * driver-side collect, candidate volume governed by bucket width
+    * (2^bits per table). Recall is probabilistic and rises steeply with
+    * cosine — near-dup pairs (cos -> 1) collide in some table with
+    * probability ~1 (recall-tested vs the exact scan). Filter BEFORE
+    * the pair-dedup exchange: only above-threshold (sparse) pairs are
+    * shuffled.
+    */
+  def srpThresholdPairs(emb: DataFrame, threshold: Double,
+                        bits: Int = 12, tables: Int = 4): DataFrame = {
+    val keyed = emb.select(col("id").cast("string").as("id"), col("embedding"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), srpSignature(col("embedding"), bits, t).as("sig"))): _*))
+        .as("bucket"))
+    val l = keyed.select(col("bucket"), col("id").as("id_a"), col("embedding").as("qe"))
+    val r = keyed.select(col("bucket"), col("id").as("id_b"), col("embedding").as("ne"))
+    l.join(r, "bucket")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("qe"), col("ne")))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+      .dropDuplicates("id_a", "id_b")
+  }
 }

@@ -373,6 +373,15 @@ class MultimodalSpec extends SparkSpecBase {
       .map(r => (r.getString(0), r.getString(1))).toSet
     val recall = (want & gotSrp).size.toDouble / want.size
     assert(recall >= 0.95, s"srp recall on media embeddings: $recall")
+    // the k-cap-free threshold variant (the TRUE scale swap for
+    // threshold dedup): at least the same recall, exact precision
+    // (verification inside the bucket join), canonical pairs
+    val gotThr = Embeddings.srpThresholdPairs(emb, 0.9995, bits = 8, tables = 4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gotThr.subsetOf(want), s"false positives: ${gotThr -- want}")
+    val recallThr = (want & gotThr).size.toDouble / want.size
+    assert(recallThr >= 0.95, s"srpThresholdPairs recall: $recallThr")
   }
 
   test("incremental media matching equals the full-batch pair set (new batch broadcast, store scanned)") {
