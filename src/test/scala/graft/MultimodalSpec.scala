@@ -529,6 +529,31 @@ class MultimodalSpec extends SparkSpecBase {
     assert(af("junk").length == 1) // stub frame
   }
 
+  test("MediaDedupJob: durable media pipeline, exact==lsh keep decisions on planted groups") {
+    import graft.multimodal.BinaryPipeline
+    val spark2 = spark
+    import spark2.implicits._
+    val media = (0 until 90).map(i =>
+      (i.toString, BinaryPipeline.syntheticBmp(i / 3, i % 3 + 1))).toDF("id", "bytes")
+    val mediaDir = java.nio.file.Files.createTempDirectory("graft-mediain").toString
+    media.write.mode("overwrite").parquet(mediaDir)
+    val work = java.nio.file.Files.createTempDirectory("graft-mediajob").toString
+    def keepSet(mode: String) =
+      MediaDedupJob.run(spark.read.parquet(mediaDir), work,
+          threshold = SparkEntry.mediaDedupThreshold, mode = mode)
+        .collect().map(r => (r.getString(0), r.getBoolean(3))).toSet
+    val exact = keepSet("exact")
+    // 30 planted groups of 3 -> exactly 30 keepers
+    assert(exact.count(_._2) == 30, s"keepers: ${exact.count(_._2)}")
+    assert(exact.size == 90)
+    // the LSH mode reproduces the same durable keep decisions here
+    // (recall ~1 at cos ~1), under its own config tag
+    assert(keepSet("lsh") == exact)
+    // artifacts are tag-stamped per mode
+    val tags = new java.io.File(s"$work/keep").listFiles().map(_.getName).toSet
+    assert(tags.size == 2, s"expected two tag dirs: $tags")
+  }
+
   test("differential: pure spec decoders bit-equal the JDK codecs on randomized images") {
     import graft.multimodal.BinaryPipeline
     val rnd = new scala.util.Random(77L)
