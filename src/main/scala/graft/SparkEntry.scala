@@ -245,6 +245,23 @@ object SparkEntry {
       documents(s, dir).select(col("doc_id"),
         explode(graft.functions.TextFunctions.winnowFingerprints(
           col("text"), 8, 4)).as("fp"))),
+    // Gopher-style intra-doc repetition signals (dup-token fraction,
+    // top-bigram coverage) — the standard repetition quality filter
+    "q_repetition" -> ((s, dir) =>
+      graft.queries.Curation.repetitionStats(documents(s, dir))),
+    // GPT-3-style benchmark decontamination: shared word-4-grams vs a
+    // benchmark slice (docs with doc_id % 23 == 0 play the eval suite)
+    "q_decontaminate" -> ((s, dir) => {
+      val d = documents(s, dir)
+      graft.queries.Curation.contaminatedDocs(
+        d.where(col("doc_id") % 23 =!= 0), d.where(col("doc_id") % 23 === 0), k = 4)
+    }),
+    // deterministic md5-bucket sampling (held-out-split primitive):
+    // 8192/65536 = 12.5% stable sample, no RNG state, engine-agnostic
+    "q_hash_sample" -> ((s, dir) =>
+      graft.queries.Curation.deterministicSample(
+        documents(s, dir), col("doc_id"), numerator = 8192)
+        .select(col("doc_id"), col("lang"))),
     // --- similarity search over embeddings ------------------------------
     "q_ann_topk" -> ((s, dir) => {
       val e = embeddings(s, dir).select(col("vec_id").as("id"), col("embedding"))
@@ -535,6 +552,28 @@ object SparkEntry {
     "q_token_freq" ->
       ("SELECT token, count(*) AS n FROM (SELECT unnest(string_split(text, ' ')) AS token " +
         "FROM documents) GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20"),
+    // zipped unnests align element-wise in DuckDB -> adjacent bigrams
+    "q_repetition" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+         |           WHERE len(string_split(text, ' ')) >= 2),
+         |bg AS (SELECT doc_id, unnest(tok[:-2]) || ' ' || unnest(tok[2:]) AS g FROM t),
+         |top AS (SELECT doc_id, max(c) AS topc FROM
+         |        (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1)
+         |SELECT t.doc_id,
+         |  round(1.0 - len(list_distinct(tok))::DOUBLE / len(tok), 6) AS dup_token_frac,
+         |  round(top.topc::DOUBLE / (len(tok) - 1), 6) AS top_bigram_frac
+         |FROM t JOIN top USING (doc_id)""".stripMargin),
+    "q_decontaminate" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+         |grams AS (SELECT doc_id, unnest(tok[:-4]) || ' ' || unnest(tok[2:-3]) || ' ' ||
+         |                 unnest(tok[3:-2]) || ' ' || unnest(tok[4:]) AS g FROM t),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 23 = 0 AND g IS NOT NULL),
+         |hits AS (SELECT DISTINCT grams.doc_id, grams.g FROM grams JOIN bench USING (g)
+         |         WHERE grams.doc_id % 23 <> 0)
+         |SELECT doc_id, count(*) AS matched_grams FROM hits GROUP BY 1""".stripMargin),
+    "q_hash_sample" ->
+      ("SELECT doc_id, lang FROM documents " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000'"),
     "q_lang_stats" ->
       "SELECT lang, count(*) AS n_docs, avg(n_chars) AS avg_chars FROM documents GROUP BY 1",
     "q_ann_topk" ->

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Training-data curation operators beyond the reference's own surface:
+  * intra-document repetition signals, benchmark decontamination, and
+  * deterministic content-hash sampling. These are the standard
+  * web-corpus curation passes (Gopher/MassiveText repetition rules,
+  * GPT-3-style n-gram decontamination, hash-bucket held-out splits)
+  * re-expressed as declarative Spark plans.
+  *
+  * Scale notes (see SCALE.md): repetition stats are a narrow map plus
+  * one doc_id-keyed aggregation (uniform key, no skew exposure);
+  * decontamination joins exploded doc k-gram hashes against the
+  * benchmark gram set — benchmark suites are tiny by construction, so
+  * the gram side is broadcast and the scan side never shuffles;
+  * hash sampling is a pure filter (predicate-pushdown friendly, no
+  * shuffle at all).
+  */
+object Curation {
+
+  /** Gopher-style intra-document repetition statistics per doc:
+    *
+    *  - `dup_token_frac`: fraction of token positions occupied by a
+    *    token that already appeared in the document
+    *    (1 - distinct/total);
+    *  - `top_bigram_frac`: fraction of adjacent bigram slots taken by
+    *    the document's single most frequent bigram.
+    *
+    * Documents with fewer than 2 tokens are excluded (no bigram slots
+    * — the denominator is undefined, matching the curation rule that
+    * such docs are length-filtered earlier anyway).
+    *
+    * Plan shape: the bigram decomposition is a per-row array transform
+    * (narrow); the only exchanges are doc_id-keyed aggregations over
+    * (doc, bigram) counts — map-side combined, uniformly distributed.
+    */
+  def repetitionStats(docs: DataFrame,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val base = docs
+      .select(col(idCol), size(toks).as("n_tok"),
+        size(array_distinct(toks)).as("n_distinct"),
+        TextFunctions.wordShingles(col(textCol), 2).as("bigrams"))
+      .where(col("n_tok") >= 2)
+    val topBigram = base
+      .select(col(idCol), explode(col("bigrams")).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("top_c"))
+    base.join(topBigram, Seq(idCol))
+      .select(col(idCol),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tok"), 6)
+          .as("dup_token_frac"),
+        round(col("top_c").cast("double") / (col("n_tok") - 1), 6)
+          .as("top_bigram_frac"))
+  }
+
+  /** Benchmark decontamination: training docs sharing at least one
+    * word k-gram with the benchmark set, with the count of distinct
+    * shared grams (the GPT-3 appendix-C contamination rule at
+    * configurable k; 13 in the paper, smaller here for synthetic
+    * text). Join keys are xxhash64(gram) — 8-byte keys instead of
+    * strings through the exchange; the benchmark side is distinct-ed
+    * and broadcast (benchmark suites are ≪ executor memory by
+    * definition). Returns (id, matched_grams); docs with zero overlap
+    * are absent (filter with an anti-join downstream to keep clean
+    * docs).
+    */
+  def contaminatedDocs(docs: DataFrame, bench: DataFrame, k: Int,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+
+        explode(array_distinct(transform(
+          TextFunctions.wordShingles(col(textCol), k),
+          g => xxhash64(g)))).as("gram_h"): _*)
+    val benchGrams = grams(bench).distinct()
+    grams(docs, col(idCol))
+      .join(broadcast(benchGrams), Seq("gram_h"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("matched_grams"))
+  }
+
+  /** Deterministic hash sampling: keep rows whose md5(key) falls below
+    * `numerator`/65536 of the hash space (first 4 hex digits compared
+    * lexicographically — md5 hex is uniform, so this is an unbiased
+    * sample that is stable across runs, engines and cluster layouts;
+    * the standard held-out-split / subsampling primitive). Pure
+    * narrow filter: no shuffle, no RNG state.
+    */
+  def deterministicSample(df: DataFrame, key: Column, numerator: Int): DataFrame = {
+    require(numerator >= 0 && numerator <= 65536, "numerator in [0, 65536]")
+    // 65536/65536 must keep everything: 'g' sorts above every hex digit
+    val thr = if (numerator == 65536) "g" else f"$numerator%04x"
+    df.where(substring(md5(key.cast("string").cast("binary")), 1, 4) < lit(thr))
+  }
+}

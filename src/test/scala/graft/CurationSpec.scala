@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Curation
+import graft.store.SeenFilter
+
+/** Curation operators: repetition stats, decontamination, deterministic
+  * sampling, bloom-prefiltered seen check.
+  */
+class CurationSpec extends SparkSpecBase {
+
+  test("repetitionStats: hand-computed fractions on tiny docs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "x y x y x y"),   // 6 tokens, 2 distinct; bigrams x5, "x y" x3
+      (2L, "a a b"),         // 3 tokens, 2 distinct; bigrams "a a","a b"
+      (3L, "unique words only here"), // no repetition
+      (4L, "solo")           // 1 token -> excluded (no bigram slots)
+    ).toDF("doc_id", "text")
+    val r = Curation.repetitionStats(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2)))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L))
+    assert(r(1L) == ((math.round((1.0 - 2.0 / 6) * 1e6) / 1e6, 0.6)))
+    assert(r(2L) == ((math.round((1.0 - 2.0 / 3) * 1e6) / 1e6, 0.5)))
+    assert(r(3L) == ((0.0, math.round(1.0 / 3 * 1e6) / 1e6)))
+  }
+
+  test("contaminatedDocs: planted k-gram overlap found, clean docs absent") {
+    val spark2 = spark
+    import spark2.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "intro text alpha beta gamma delta closing words"), // contains a 4-gram
+      (2L, "beta gamma delta epsilon and alpha beta gamma delta"), // two distinct shared 4-grams
+      (3L, "no shared grams at all in this document")
+    ).toDF("doc_id", "text")
+    val r = Curation.contaminatedDocs(train, bench, k = 4).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("deterministicSample: stable, monotone in threshold, exact bounds") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(Curation.deterministicSample(docs, col("doc_id"), 0).count() == 0)
+    assert(Curation.deterministicSample(docs, col("doc_id"), 65536).count() == docs.count())
+    val a = Curation.deterministicSample(docs, col("doc_id"), 8192)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Curation.deterministicSample(docs, col("doc_id"), 16384)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(b), "lower-threshold sample must nest in the higher one")
+    // rerun gives the identical set (no RNG state)
+    val a2 = Curation.deterministicSample(docs, col("doc_id"), 8192)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == a2)
+    // exact counts pinned (md5 is engine-agnostic: DuckDB agrees — see
+    // the q_hash_sample oracle)
+    assert(a.size == 78 && b.size == 140)
+  }
+
+  test("SeenFilter.notSeen == plain anti-join (bloom split is exact)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val store = (0L until 3000L).filter(_ % 3 == 0).toDF("id")
+    val fresh = (0L until 1000L).toDF("id").withColumn("payload", col("id") * 2)
+    // tight sketch -> false positives likely -> residue path exercised
+    val bloom = SeenFilter.build(store, col("id"), expectedKeys = 1000L, fpp = 0.2)
+    val got = SeenFilter.notSeen(fresh, col("id"), bloom, store, col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = fresh.join(store, Seq("id"), "left_anti")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(want.size == 666, "2/3 of fresh ids are unseen")
+    // no false negatives by construction: every stored key bloom-hits
+    val misses = store.collect().map(_.getLong(0).toString)
+      .count(s => !bloom.mightContainString(s))
+    assert(misses == 0)
+  }
+}
