@@ -126,6 +126,21 @@ object Expressions {
       copy(child = newChild)
   }
 
+  /** text -> [n_tokens, dup_token_frac, top_bigram_frac] (array<double>)
+    * in one kernel pass (the explode/groupBy formulation in
+    * `Curation.repetitionStatsExploded` is the semantic oracle).
+    */
+  case class RepetitionStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.repetitionStats(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.repetitionStats($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Signed-random-projection sign-bit signature of a float embedding. */
   case class SrpSig(child: Expression, bits: Int, table: Int)
       extends UnaryExpression {
@@ -154,6 +169,8 @@ object Expressions {
   def jaccardSets(a: Column, b: Column): Column =
     GraftGlue.column(
       JaccardLongSets(GraftGlue.expression(a), GraftGlue.expression(b)))
+  def repetitionStats(text: Column): Column =
+    GraftGlue.column(RepetitionStats(GraftGlue.expression(text)))
   def winnowHashes(text: Column, w: Int, p: Int): Column =
     GraftGlue.column(WinnowHashes(GraftGlue.expression(text), w, p))
   def nearestCentroids(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column =

@@ -230,6 +230,37 @@ object Kernels {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 
+  /** Intra-document repetition statistics in ONE pass over the text:
+    * returns [n_tokens, dup_token_frac, top_bigram_frac] as doubles.
+    * Tokenization = split on single space keeping empties — identical
+    * to Spark `split(text, " ")` and DuckDB `string_split(text, ' ')`,
+    * so the fractions are bit-equal to the explode/groupBy formulation
+    * (asserted in CurationSpec) and to the SQL oracle: same integer
+    * operands, same IEEE divisions. Fractions are 0 below 2 tokens
+    * (callers filter on n_tokens anyway — no bigram slots exist).
+    */
+  def repetitionStats(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    val distinct = new java.util.HashSet[String](n * 2)
+    var i = 0
+    while (i < n) { distinct.add(toks(i)); i += 1 }
+    val dup = if (n == 0) 0.0 else 1.0 - distinct.size.toDouble / n
+    var top = 0
+    if (n >= 2) {
+      val counts = new java.util.HashMap[String, Integer](n * 2)
+      i = 0
+      while (i < n - 1) {
+        val c = counts.merge(toks(i) + " " + toks(i + 1), Integer.valueOf(1),
+          (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+        if (c > top) top = c
+        i += 1
+      }
+    }
+    val topFrac = if (n >= 2) top.toDouble / (n - 1) else 0.0
+    new GenericArrayData(Array(n.toDouble, dup, topFrac))
+  }
+
   /** Exact Jaccard of two long-array SETS (inputs must be distinct;
     * order free). Hash-probe on the smaller side.
     */

@@ -26,6 +26,16 @@ class CurationSpec extends SparkSpecBase {
     assert(r(3L) == ((0.0, math.round(1.0 / 3 * 1e6) / 1e6)))
   }
 
+  test("repetitionStats kernel is bit-equal to the explode/groupBy formulation") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val kernel = Curation.repetitionStats(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val oracle = Curation.repetitionStatsExploded(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(kernel == oracle)
+    assert(kernel.size == docs.count())
+  }
+
   test("contaminatedDocs: planted k-gram overlap found, clean docs absent") {
     val spark2 = spark
     import spark2.implicits._

@@ -80,4 +80,18 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"expected broadcast for small flagged set:\n${plan.take(1200)}")
   }
+
+  test("decontamination gram join broadcasts the benchmark side — corpus side never shuffles") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(graft.queries.Curation.contaminatedDocs(
+      d.where(col("doc_id") % 23 =!= 0), d.where(col("doc_id") % 23 === 0), k = 4))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram set must broadcast:\n${plan.take(1500)}")
+    // the only Exchange allowed is the final doc_id-keyed count (and the
+    // broadcast itself) — no hash exchange of the exploded corpus grams
+    val hashExchanges = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(hashExchanges.forall(_.startsWith("doc_id")),
+      s"unexpected non-doc_id exchange (gram shuffle?): $hashExchanges")
+  }
 }
