@@ -92,11 +92,12 @@ object Curation {
   def contaminatedDocs(docs: DataFrame, bench: DataFrame, k: Int,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
+    // codegen'd kernel == array_distinct(transform(word k-grams,
+    // xxhash64)) bit-for-bit (FunctionsSpec) at one call per row
     def grams(df: DataFrame, cols: Column*): DataFrame =
       df.select(cols :+
-        explode(array_distinct(transform(
-          TextFunctions.wordShingles(col(textCol), k),
-          g => xxhash64(g)))).as("gram_h"): _*)
+        explode(graft.functions.Expressions.shingleHashes(col(textCol), k))
+          .as("gram_h"): _*)
     // no distinct() before the broadcast: a semi-join is insensitive to
     // build-side duplicates, grams are already per-doc distinct, and the
     // distinct would add the plan's only non-doc_id exchange (PlanSpec
