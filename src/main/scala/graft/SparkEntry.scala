@@ -262,6 +262,24 @@ object SparkEntry {
       graft.queries.Curation.deterministicSample(
         documents(s, dir), col("doc_id"), numerator = 8192)
         .select(col("doc_id"), col("lang"))),
+    // canonical-URL dedup: scheme/www/case/slash/fragment variants of
+    // the same page collapse to one canonical key (urls synthesized
+    // deterministically from doc_id — the driver tables carry no url)
+    "q_url_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, "https://").otherwise("http://"),
+        when(id % 3 === 0, "WWW.").otherwise(lit("")),
+        lit("Site"), (id % 50).cast("string"), lit(".Example.com/page/"),
+        (id % 10).cast("string"),
+        when(id % 5 === 0, "/").otherwise(lit("")),
+        when(id % 7 === 0, "#frag").otherwise(lit("")))
+      documents(s, dir)
+        .select(id, graft.functions.TextFunctions.canonicalUrl(url)
+          .as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_docs"), min(id).as("keeper_id"))
+    }),
     // --- similarity search over embeddings ------------------------------
     "q_ann_topk" -> ((s, dir) => {
       val e = embeddings(s, dir).select(col("vec_id").as("id"), col("embedding"))
@@ -574,6 +592,26 @@ object SparkEntry {
     "q_hash_sample" ->
       ("SELECT doc_id, lang FROM documents " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000'"),
+    // same canonicalization order as TextFunctions.canonicalUrl:
+    // fragment -> scheme -> lower(host) -> www -> trailing slash
+    // (utm strip is a no-op on these urls; regexes are RE2/Java-shared)
+    "q_url_dedup" ->
+      ("""WITH u AS (SELECT doc_id,
+         |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
+         |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+         |  'Site' || CAST(doc_id % 50 AS VARCHAR) || '.Example.com/page/' ||
+         |  CAST(doc_id % 10 AS VARCHAR) ||
+         |  (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(url, '#.*$', ''),
+         |       '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS x FROM u),
+         |s2 AS (SELECT doc_id, lower(regexp_extract(x, '^[^/]*')) ||
+         |       regexp_replace(x, '^[^/]*', '') AS x FROM s1),
+         |s3 AS (SELECT doc_id, regexp_replace(regexp_replace(x, '^www\.', ''),
+         |       '/+$', '') AS canonical_url FROM s2)
+         |SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS keeper_id
+         |FROM s3 GROUP BY 1""".stripMargin),
     "q_lang_stats" ->
       "SELECT lang, count(*) AS n_docs, avg(n_chars) AS avg_chars FROM documents GROUP BY 1",
     "q_ann_topk" ->

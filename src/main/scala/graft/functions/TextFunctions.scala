@@ -151,6 +151,31 @@ object TextFunctions {
       regexp_replace(path.substr(length(base) + 1, length(path)), "^/+", ""))
       .otherwise(path)
 
+  /** Canonical URL for dedup grouping — the web-pipeline analog of the
+    * reference's path normalization before hashing (`repr_utils.py`):
+    * drop the fragment, drop the scheme, lowercase the authority, drop
+    * a leading "www.", drop trailing slashes, and (Scala-side extra,
+    * unit-tested) strip `utm_*` tracking params. Applied in THIS order
+    * on both engines (fragment → scheme → lower(host) → www → utm →
+    * trailing slash); every regex is RE2-and-Java-compatible with
+    * literal replacements (no backrefs — the two engines disagree on
+    * `$1` vs `\1`).
+    */
+  def canonicalUrl(url: Column, stripTracking: Boolean = true): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noScheme = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val lowerHost = concat(
+      lower(regexp_extract(noScheme, "^[^/]*", 0)),
+      regexp_replace(noScheme, "^[^/]*", ""))
+    val noWww = regexp_replace(lowerHost, "^www\\.", "")
+    val noUtm = if (!stripTracking) noWww else {
+      val mid = regexp_replace(noWww, "&utm_[^&#]*", "")
+      val first = regexp_replace(mid, "\\?utm_[^&#]*&", "?")
+      regexp_replace(first, "\\?utm_[^&#]*$", "")
+    }
+    regexp_replace(noUtm, "/+$", "")
+  }
+
   /** Rolling-hash winnowing fingerprints: hashes of char w-grams sampled
     * where hash % p == 0 (content-defined sampling — robust to shifts).
     * Kernel-backed (one codegen'd call per row): the equivalent

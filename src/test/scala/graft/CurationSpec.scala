@@ -68,6 +68,32 @@ class CurationSpec extends SparkSpecBase {
     assert(a.size == 78 && b.size == 140)
   }
 
+  test("canonicalUrl: scheme/www/case/slash/fragment/utm variants collapse") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cases = Seq(
+      // (input, expected canonical)
+      ("https://WWW.Example.COM/Path/", "example.com/Path"),
+      ("http://example.com/Path", "example.com/Path"),
+      ("example.com/Path#section-2", "example.com/Path"),
+      ("https://example.com", "example.com"),
+      ("https://example.com/?utm_source=x", "example.com"),
+      ("https://example.com/p?utm_source=x&q=1", "example.com/p?q=1"),
+      ("https://example.com/p?q=1&utm_medium=m&r=2", "example.com/p?q=1&r=2"),
+      ("https://example.com/p?utm_a=1&utm_b=2", "example.com/p"),
+      // path case is PRESERVED (only the authority lowercases)
+      ("ftp://Host.Net/CaseSensitive/PATH", "host.net/CaseSensitive/PATH"),
+      ("www.plain.org//", "plain.org")
+    )
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"),
+        graft.functions.TextFunctions.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"canonicalUrl($in) = ${got(in)}, want $want")
+    }
+  }
+
   test("SeenFilter.notSeen == plain anti-join (bloom split is exact)") {
     val spark2 = spark
     import spark2.implicits._
