@@ -68,6 +68,28 @@ class CurationSpec extends SparkSpecBase {
     assert(a.size == 78 && b.size == 140)
   }
 
+  test("curation edge cases: degenerate texts flow through without errors") {
+    val spark2 = spark
+    import spark2.implicits._
+    val weird = Seq(
+      (1L, ""),                 // empty -> 1 empty token -> excluded
+      (2L, "solo"),             // 1 token -> excluded
+      (3L, "w w w w"),          // total repetition
+      (4L, "aé bé aé bé") // multibyte UTF-8 tokens
+    ).toDF("doc_id", "text")
+    val r = Curation.repetitionStats(weird).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2)))).toMap
+    assert(r.keySet == Set(3L, 4L))
+    assert(r(3L) == ((0.75, 1.0))) // 4 tokens 1 distinct; "w w" fills all 3 slots
+    assert(r(4L) == ((0.5, math.round(2.0 / 3 * 1e6) / 1e6))) // "aé bé" twice of 3 slots
+    // kernel == exploded formulation on the degenerate rows too
+    val exploded = Curation.repetitionStatsExploded(weird).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2)))).toMap
+    assert(r == exploded)
+    // k-gram longer than every doc -> decontamination finds nothing
+    assert(Curation.contaminatedDocs(weird, weird, k = 50).count() == 0)
+  }
+
   test("canonicalUrl: scheme/www/case/slash/fragment/utm variants collapse") {
     val spark2 = spark
     import spark2.implicits._
