@@ -262,6 +262,16 @@ object SparkEntry {
       graft.queries.Curation.deterministicSample(
         documents(s, dir), col("doc_id"), numerator = 8192)
         .select(col("doc_id"), col("lang"))),
+    // per-language training-mix rebalance: keep all zh (low-resource),
+    // half of de, 1/16 of en (dominant), default 1/8 — per-stratum
+    // md5 budgets, one narrow filter
+    "q_stratified_sample" -> ((s, dir) =>
+      graft.queries.Curation.stratifiedSample(
+        documents(s, dir), col("lang"), col("doc_id"),
+        Map("en" -> 4096, "de" -> 32768, "zh" -> 65536),
+        defaultNumerator = 8192)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))),
     // canonical-URL dedup: scheme/www/case/slash/fragment variants of
     // the same page collapse to one canonical key (urls synthesized
     // deterministically from doc_id — the driver tables carry no url)
@@ -592,6 +602,11 @@ object SparkEntry {
     "q_hash_sample" ->
       ("SELECT doc_id, lang FROM documents " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000'"),
+    "q_stratified_sample" ->
+      ("SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id FROM documents " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < " +
+        "(CASE WHEN lang = 'en' THEN '1000' WHEN lang = 'de' THEN '8000' " +
+        "WHEN lang = 'zh' THEN 'g' ELSE '2000' END) GROUP BY 1"),
     // same canonicalization order as TextFunctions.canonicalUrl:
     // fragment -> scheme -> lower(host) -> www -> trailing slash
     // (utm strip is a no-op on these urls; regexes are RE2/Java-shared)

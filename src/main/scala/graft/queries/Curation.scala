@@ -116,10 +116,32 @@ object Curation {
     * the standard held-out-split / subsampling primitive). Pure
     * narrow filter: no shuffle, no RNG state.
     */
-  def deterministicSample(df: DataFrame, key: Column, numerator: Int): DataFrame = {
+  def deterministicSample(df: DataFrame, key: Column, numerator: Int): DataFrame =
+    df.where(substring(md5(key.cast("string").cast("binary")), 1, 4)
+      < lit(hexThreshold(numerator)))
+
+  /** Stratified variant — the training-mix rebalancer (e.g. keep 100%
+    * of a low-resource language, 10% of English): a per-stratum
+    * numerator out of 65536, strata missing from the map keep
+    * `defaultNumerator`. Still one narrow filter — the threshold is a
+    * CASE expression on the stratum column; the same key always lands
+    * on the same side within its stratum, so budgets can be re-tuned
+    * between runs while already-selected rows stay maximally stable
+    * (a lower budget selects a subset of a higher one).
+    */
+  def stratifiedSample(df: DataFrame, strata: Column, key: Column,
+                       numerators: Map[String, Int],
+                       defaultNumerator: Int = 0): DataFrame = {
+    val thr = numerators.toSeq.sortBy(_._1).foldLeft(
+      lit(hexThreshold(defaultNumerator))) { case (acc, (stratum, num)) =>
+      when(strata === stratum, lit(hexThreshold(num))).otherwise(acc)
+    }
+    df.where(substring(md5(key.cast("string").cast("binary")), 1, 4) < thr)
+  }
+
+  private def hexThreshold(numerator: Int): String = {
     require(numerator >= 0 && numerator <= 65536, "numerator in [0, 65536]")
     // 65536/65536 must keep everything: 'g' sorts above every hex digit
-    val thr = if (numerator == 65536) "g" else f"$numerator%04x"
-    df.where(substring(md5(key.cast("string").cast("binary")), 1, 4) < lit(thr))
+    if (numerator == 65536) "g" else f"$numerator%04x"
   }
 }

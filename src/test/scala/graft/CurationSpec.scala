@@ -68,6 +68,28 @@ class CurationSpec extends SparkSpecBase {
     assert(a.size == 78 && b.size == 140)
   }
 
+  test("stratifiedSample: per-stratum budgets, default stratum, subset stability") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val kept = Curation.stratifiedSample(docs, col("lang"), col("doc_id"),
+      Map("en" -> 4096, "zh" -> 65536), defaultNumerator = 8192)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.getOrElse("zh", 0L) == totals("zh"),
+      "numerator 65536 keeps the whole stratum")
+    assert(byLang.getOrElse("en", 0L) < totals("en") / 8,
+      "en capped hard at 1/16 nominal")
+    // per-row stability: the en selection is exactly the 1/16 global
+    // sample restricted to en (same key hash, same threshold ordering)
+    val enKept = kept.where(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val global = Curation.deterministicSample(docs, col("doc_id"), 4096)
+      .where(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(enKept == global)
+  }
+
   test("curation edge cases: degenerate texts flow through without errors") {
     val spark2 = spark
     import spark2.implicits._
