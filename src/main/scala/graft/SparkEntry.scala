@@ -154,6 +154,16 @@ object SparkEntry {
       Dedup.simhashPairs(sigs, hammingMax = 3)
         .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"), col("hamming"))
     }),
+    // fuzzy set-containment (edit-robust small-doc-inside-big-doc):
+    // |A∩B|/min(|A|,|B|) via asymmetric prefix filter + exact kernel
+    "q_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), cfg, tau = 0.6)
+        .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
+          col("containment"))),
+    // FineWeb-style chunk dedup signal: per-doc fraction of 20-token
+    // windows that occur more than once corpus-wide
+    "q_chunk_dup" -> ((s, dir) =>
+      graft.queries.Curation.chunkDupStats(documents(s, dir), chunkTokens = 20)),
     // suffix-array exact-substring pass over low-threshold candidates
     "q_substring_containment" -> ((s, dir) => {
       val cands = Dedup.exactJaccardPairsPrefix(docs(s, dir), cfg.copy(threshold = 0.3))
@@ -509,6 +519,32 @@ object SparkEntry {
     "q_exact_dedup" ->
       ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash, " +
         "count(*) AS n_docs, min(doc_id) AS keeper_id FROM documents GROUP BY 1"),
+    "q_containment_pairs" ->
+      ("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s
+         |       FROM toks, LATERAL unnest(range(1, len(w)-1)) AS g(i)),
+         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |          FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT da AS doc_id_a, db AS doc_id_b,
+         |       i*1.0/least(ca.c, cb.c) AS containment
+         |FROM inter
+         |JOIN card ca ON ca.doc_id=da JOIN card cb ON cb.doc_id=db
+         |WHERE i*1.0/least(ca.c, cb.c) >= 0.6""".stripMargin),
+    // chunk occurrences grouped on chunk TEXT (the operator groups on
+    // xxhash64(chunk) — identical counts modulo 2^-64 collisions)
+    "q_chunk_dup" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+         |pos AS (SELECT doc_id, unnest(tok) AS tk,
+         |        generate_subscripts(tok, 1) AS p FROM t),
+         |ch AS (SELECT doc_id, CAST(floor((p-1)/20) AS BIGINT) AS ci,
+         |       string_agg(tk, ' ' ORDER BY p) AS chunk FROM pos GROUP BY 1, 2),
+         |occ AS (SELECT chunk, count(*) AS n_occ FROM ch GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  round(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END)*1.0/count(*), 6)
+         |    AS dup_chunk_frac
+         |FROM ch JOIN occ USING (chunk) GROUP BY 1""".stripMargin),
     "q_substring_containment" ->
       (s"WITH ${pairsCteAt(0.3)} SELECT doc_id_a, doc_id_b, " +
         "(strpos(CASE WHEN len(ta.text) >= len(tb.text) THEN ta.text ELSE tb.text END, " +

@@ -81,6 +81,21 @@ object Expressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** |A ∩ B| of two distinct-element long arrays. */
+  case class IntersectCountLongSets(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.intersectCountLongSets(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.Kernels.intersectCountLongSets($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Deterministic cosine similarity over two float arrays. */
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -169,6 +184,9 @@ object Expressions {
   def jaccardSets(a: Column, b: Column): Column =
     GraftGlue.column(
       JaccardLongSets(GraftGlue.expression(a), GraftGlue.expression(b)))
+  def intersectCount(a: Column, b: Column): Column =
+    GraftGlue.column(
+      IntersectCountLongSets(GraftGlue.expression(a), GraftGlue.expression(b)))
   def repetitionStats(text: Column): Column =
     GraftGlue.column(RepetitionStats(GraftGlue.expression(text)))
   def winnowHashes(text: Column, w: Int, p: Int): Column =

@@ -278,4 +278,23 @@ object Kernels {
     while (i < nb) { if (set.contains(big.getLong(i))) inter += 1; i += 1 }
     inter.toDouble / (ns + nb - inter)
   }
+
+  /** |A ∩ B| of two long-array SETS — the numerator the containment
+    * metric needs (jaccard's denominator is the wrong normalizer for
+    * small-doc-inside-big-doc pairs).
+    */
+  def intersectCountLongSets(a: ArrayData, b: ArrayData): Long = {
+    val (small, big) =
+      if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val ns = small.numElements()
+    val nb = big.numElements()
+    if (ns == 0) return 0L
+    val set = new java.util.HashSet[Long](ns * 2)
+    var i = 0
+    while (i < ns) { set.add(small.getLong(i)); i += 1 }
+    var inter = 0L
+    i = 0
+    while (i < nb) { if (set.contains(big.getLong(i))) inter += 1; i += 1 }
+    inter
+  }
 }

@@ -288,6 +288,63 @@ object Dedup {
       .distinct()
   }
 
+  /** Fuzzy set-containment pairs: |A∩B| / min(|A|,|B|) >= tau over the
+    * word-k-gram shingle sets — the edit-robust complement of the exact
+    * suffix-array substring pass (`ExactSubstring`): a slightly-edited
+    * quote of a small doc inside a big doc has LOW jaccard
+    * (≈|A|/|B|) and no exact substring match, but HIGH containment.
+    *
+    * Candidate generation is an ASYMMETRIC prefix filter: the contained
+    * side must share >= ceil(tau·|A|) elements with its container, so A
+    * collides inside its first `|A| - ceil(tau·|A|) + 1` rarest-first
+    * elements (same argument as [[exactJaccardPairsPrefix]]); the
+    * containing side B indexes ALL its elements (B's shared part can be
+    * an arbitrarily small fraction of B — no prefix bound exists).
+    * Pairing condition `(|A|,idA) < (|B|,idB)` generates each unordered
+    * pair exactly once with A the min-cardinality side. Verification is
+    * the exact kernel intersection count, so precision is 1.
+    *
+    * Scale: the full-index side reintroduces hot-shingle fan-out
+    * (boilerplate shared by f docs -> f index rows per prefix hit) —
+    * inherent to containment semantics, mitigate upstream by dropping
+    * stop-gram shingles or exact-dedup boilerplate first; candidate
+    * volume is still prefix-bounded on the contained side, unlike a
+    * plain inverted-index join which pays f²/2.
+    */
+  def containmentPairs(docs: DataFrame, cfg: DedupConfig,
+                       tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shingled = shingleSets(docs, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sh = shingled.select(col("id"), size(col("shingles")).as("c"),
+        explode(col("shingles")).as("h"))
+      val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      val prefix = sh.join(freq, "h")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("id").orderBy(col("df"), col("h"))))
+        .where(col("rn") <= col("c") - ceil(col("c") * tau) + 1)
+        .select(col("id"), col("h"), col("c"))
+      val cands = prefix.as("a").join(sh.as("b"),
+          col("a.h") === col("b.h") &&
+            (col("a.c") < col("b.c") ||
+              (col("a.c") === col("b.c") && col("a.id") < col("b.id"))))
+        .select(col("a.id").as("small_id"), col("b.id").as("big_id"))
+        .distinct()
+      val sa = shingled.select(col("id").as("small_id"), col("shingles").as("sh_a"))
+      val sb = shingled.select(col("id").as("big_id"), col("shingles").as("sh_b"))
+      cands.join(sa, "small_id").join(sb, "big_id")
+        .withColumn("containment",
+          graft.functions.Expressions.intersectCount(col("sh_a"), col("sh_b"))
+            .cast("double") / size(col("sh_a")))
+        .where(col("containment") >= tau)
+        .select(least(col("small_id"), col("big_id")).as("id_a"),
+          greatest(col("small_id"), col("big_id")).as("id_b"),
+          col("containment"))
+        .localCheckpoint(true)
+    } finally { shingled.unpersist(); () }
+  }
+
   /** Pairs -> cluster assignments via distributed connected components
     * (the reference's DBSCAN(min_samples=1) semantics,
     * `winnow/duplicate_detection/duplicate_detector.py:22-26`);

@@ -139,6 +139,38 @@ object Curation {
     df.where(substring(md5(key.cast("string").cast("binary")), 1, 4) < thr)
   }
 
+  /** Chunk-level duplication statistics (the FineWeb/RefinedWeb window
+    * dedup signal): split each doc into non-overlapping `chunkTokens`-
+    * token windows (trailing partial window kept), count how often each
+    * chunk text occurs across the corpus, and report per doc the
+    * fraction of its chunks that occur more than once globally
+    * (including repeats within the same doc). Docs whose chunks are all
+    * unique score 0; a doc fully assembled from boilerplate scores 1.
+    *
+    * Plan shape: chunking is a narrow per-row transform; occurrences
+    * aggregate on xxhash64(chunk) — ONE keyed exchange carrying 8-byte
+    * keys (the same shape as the LSH band join, AQE/salting applies);
+    * the per-doc fraction is a doc_id-keyed aggregation.
+    */
+  def chunkDupStats(docs: DataFrame, chunkTokens: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val chunks = docs.select(col(idCol),
+      explode(transform(
+        sequence(lit(0), ceil(size(toks).cast("double") / chunkTokens)
+          .cast("int") - 1),
+        i => xxhash64(array_join(
+          slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " "))))
+        .as("chunk_h"))
+    val occ = chunks.groupBy("chunk_h").agg(count(lit(1)).as("n_occ"))
+    chunks.join(occ, "chunk_h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        round(sum(when(col("n_occ") >= 2, 1).otherwise(0)).cast("double")
+          / count(lit(1)), 6).as("dup_chunk_frac"))
+  }
+
   private def hexThreshold(numerator: Int): String = {
     require(numerator >= 0 && numerator <= 65536, "numerator in [0, 65536]")
     // 65536/65536 must keep everything: 'g' sorts above every hex digit

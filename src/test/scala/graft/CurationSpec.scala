@@ -138,6 +138,59 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("containmentPairs finds an embedded quote that jaccard misses; matches inverted-index oracle") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.pipeline.{Dedup, DedupConfig}
+    val cfg = DedupConfig()
+    val quote = (1 to 30).map(i => s"q$i").mkString(" ")
+    val filler = (1 to 300).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),                    // small doc
+      (2L, s"$filler $quote"),        // big doc containing it verbatim
+      (3L, (1 to 50).map(i => s"z$i").mkString(" "))
+    ).toDF("id", "text")
+    val got = Dedup.containmentPairs(docs, cfg, tau = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)),
+      s"expected full containment of doc 1 in doc 2, got ${got.toSeq}")
+    // jaccard at the default threshold does NOT surface this pair
+    assert(Dedup.exactJaccardPairsPrefix(docs, cfg).count() == 0)
+    // full-corpus parity vs the complete inverted-index formulation
+    val sf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    val prefixSet = Dedup.containmentPairs(sf, cfg, tau = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sh = Dedup.shingleSets(sf, cfg)
+      .select(col("id"), col("shingles"))
+    val full = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (graft.functions.Expressions
+          .intersectCount(col("a.shingles"), col("b.shingles")).cast("double") /
+          least(size(col("a.shingles")), size(col("b.shingles"))))
+          .as("containment"))
+      .where(col("containment") >= 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prefixSet == full)
+  }
+
+  test("chunkDupStats: hand-computed window duplication fractions") {
+    val spark2 = spark
+    import spark2.implicits._
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler ${uniq("x", 20)}"),  // chunk1 = boiler (dup), chunk2 unique
+      (2L, s"$boiler ${uniq("y", 30)}"),  // 3 chunks: boiler + 20 + partial 10
+      (3L, uniq("w", 25))                 // 2 chunks, all unique
+    ).toDF("doc_id", "text")
+    val r = Curation.chunkDupStats(docs, chunkTokens = 20).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r(1L) == ((2L, 0.5)))
+    assert(r(2L) == ((3L, math.round(1.0 / 3 * 1e6) / 1e6)))
+    assert(r(3L) == ((2L, 0.0)))
+  }
+
   test("SeenFilter.notSeen == plain anti-join (bloom split is exact)") {
     val spark2 = spark
     import spark2.implicits._
