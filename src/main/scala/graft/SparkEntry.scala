@@ -154,6 +154,13 @@ object SparkEntry {
       Dedup.simhashPairs(sigs, hammingMax = 3)
         .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"), col("hamming"))
     }),
+    // leakage-free split: sample at dup-CLUSTER granularity so near-dup
+    // docs never straddle train/heldout (eval-hygiene primitive)
+    "q_split_leakfree" -> ((s, dir) =>
+      graft.queries.Curation.leakageFreeSplit(
+        documents(s, dir), Dedup.clusters(pairsFor(s, dir)),
+        heldOutNumerator = 8192)
+        .select(col("doc_id"), col("cluster_id"), col("split"))),
     // fuzzy set-containment (edit-robust small-doc-inside-big-doc):
     // |A∩B|/min(|A|,|B|) via asymmetric prefix filter + exact kernel
     "q_containment_pairs" -> ((s, dir) =>
@@ -519,6 +526,14 @@ object SparkEntry {
     "q_exact_dedup" ->
       ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash, " +
         "count(*) AS n_docs, min(doc_id) AS keeper_id FROM documents GROUP BY 1"),
+    "q_split_leakfree" ->
+      (s"WITH RECURSIVE $clustersCte, " +
+        "assigned AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id " +
+        "             FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id) " +
+        "SELECT doc_id, cluster_id, " +
+        "  (CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < '2000' " +
+        "        THEN 'heldout' ELSE 'train' END) AS split " +
+        "FROM assigned"),
     "q_containment_pairs" ->
       ("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s

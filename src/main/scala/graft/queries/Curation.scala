@@ -171,6 +171,27 @@ object Curation {
           / count(lit(1)), 6).as("dup_chunk_frac"))
   }
 
+  /** Leakage-free train/heldout split: the sampling key is the
+    * DUP-CLUSTER id, not the doc id, so a document and its near
+    * duplicates always land on the same side — held-out evaluation
+    * never sees a paraphrase of a training doc. Singletons (docs in no
+    * cluster) key by their own id, which IS their cluster id under the
+    * min-member convention. Composes [[deterministicSample]]'s
+    * md5-bucket rule with the dedup `clusters` output; one broadcast-
+    * size-agnostic left join + a narrow filter expression.
+    */
+  def leakageFreeSplit(docs: DataFrame, clusters: DataFrame,
+                       heldOutNumerator: Int,
+                       idCol: String = "doc_id"): DataFrame = {
+    val assigned = docs.select(col(idCol))
+      .join(clusters.select(col("id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    assigned.withColumn("split",
+      when(substring(md5(col("cluster_id").cast("string").cast("binary")), 1, 4)
+        < lit(hexThreshold(heldOutNumerator)), "heldout").otherwise("train"))
+  }
+
   private def hexThreshold(numerator: Int): String = {
     require(numerator >= 0 && numerator <= 65536, "numerator in [0, 65536]")
     // 65536/65536 must keep everything: 'g' sorts above every hex digit

@@ -174,6 +174,30 @@ class CurationSpec extends SparkSpecBase {
     assert(prefixSet == full)
   }
 
+  test("leakageFreeSplit: near-dup cluster members never straddle the split") {
+    import graft.pipeline.{Dedup, DedupConfig}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    val clusters = Dedup.clusters(
+      Dedup.pairsMaterialized(docs, DedupConfig())).localCheckpoint(true)
+    val split = Curation.leakageFreeSplit(
+      docs.withColumnRenamed("id", "doc_id"), clusters, heldOutNumerator = 8192)
+    // every cluster is entirely on one side
+    val mixed = split.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("k")).where(col("k") > 1).count()
+    assert(mixed == 0)
+    // both sides populated, all docs assigned exactly once
+    val bySide = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySide.values.sum == docs.count())
+    assert(bySide("heldout") > 0 && bySide("train") > 0)
+    // cluster members share their cluster's side even when their own
+    // doc-id hash would say otherwise: doc-level sampling DOES straddle
+    val docLevel = Curation.deterministicSample(
+      split.where(col("split") === "train"), col("doc_id"), 8192).count()
+    assert(docLevel > 0, "doc-level hash selects some train docs (would leak)")
+  }
+
   test("chunkDupStats: hand-computed window duplication fractions") {
     val spark2 = spark
     import spark2.implicits._
