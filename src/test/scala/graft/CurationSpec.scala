@@ -198,6 +198,39 @@ class CurationSpec extends SparkSpecBase {
     assert(docLevel > 0, "doc-level hash selects some train docs (would leak)")
   }
 
+  test("containment prefix completeness (property): random hot-shingle corpora x taus match brute force") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.pipeline.{Dedup, DedupConfig}
+    val cfg = DedupConfig()
+    val rnd = new scala.util.Random(777L)
+    // tiny vocabulary = heavy shingle sharing: the adversarial case for
+    // the asymmetric prefix bound (contained side prefixed, container
+    // side full) — a bug that drops hot-end collisions would show here
+    val vocab = Array("a", "b", "c", "d", "e", "f")
+    for (trial <- 0 until 6) {
+      val tau = Seq(0.4, 0.6, 0.8)(trial % 3)
+      val n = 10 + rnd.nextInt(10)
+      val docs = (1 to n).map { i =>
+        val len = 3 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }.toDF("id", "text")
+      def ps(df: org.apache.spark.sql.DataFrame) =
+        df.select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = ps(Dedup.containmentPairs(docs, cfg, tau))
+      val sh = Dedup.shingleSets(docs, cfg).select(col("id"), col("shingles"))
+      val brute = ps(sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+        .where(graft.functions.Expressions
+          .intersectCount(col("a.shingles"), col("b.shingles")).cast("double") /
+          least(size(col("a.shingles")), size(col("b.shingles"))) >= tau)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")))
+      assert(got == brute,
+        s"trial=$trial tau=$tau n=$n: prefix=${got.size} brute=${brute.size} " +
+          s"missing=${brute -- got} extra=${got -- brute}")
+    }
+  }
+
   test("chunkDupStats: hand-computed window duplication fractions") {
     val spark2 = spark
     import spark2.implicits._
