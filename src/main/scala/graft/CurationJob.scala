@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, DedupConfig, ResumableDedupJob}
+import graft.queries.Curation
+
+/** End-to-end training-data curation entry point — the funnel a
+  * 100 TB web corpus actually runs before pretraining, composed from
+  * the library's operators:
+  *
+  *   raw docs -> exact dedup -> near-dup clusters (checkpointed,
+  *   skew-aware) -> quality-ranked keep list -> quality + repetition
+  *   filters -> optional benchmark decontamination -> leakage-free
+  *   cluster-keyed train/heldout split -> curated table
+  *
+  *   spark-submit --class graft.CurationJob app.jar <docsPath> <workDir> \
+  *     [benchPath|-] [heldoutNumerator=8192]
+  *
+  * Every stage count is reported in one funnel JSON line (the
+  * reference's count-back style, `generate_matches.py:57-62`); the
+  * curated table is tag-stamped so a config change regenerates rather
+  * than mixes. The near-dup stage reuses the bucket-checkpointed
+  * resumable dedup (`ResumableDedupJob`), so a restart skips completed
+  * signature buckets.
+  */
+object CurationJob {
+  /** Funnel thresholds: lenient defaults a real corpus would tune. */
+  val minQuality = 0.25
+  val maxTopBigramFrac = 0.6
+  val decontamK = 4
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: CurationJob <docsPath> <workDir> [benchPath|-] [heldoutNumerator]")
+    val Array(docsPath, workDir) = args.take(2)
+    val benchPath = args.lift(2).filterNot(_ == "-")
+    val heldoutNumerator = args.lift(3).map(_.toInt).getOrElse(8192)
+
+    val builder = SparkSession.builder()
+      .appName("graft-curation")
+      .config("spark.sql.session.timeZone", "UTC")
+    if (!sys.props.contains("spark.master"))
+      builder.master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try println(run(spark, docsPath, workDir, benchPath, heldoutNumerator))
+    finally spark.stop()
+  }
+
+  /** The funnel itself (session-agnostic — tests drive it directly);
+    * returns the metrics JSON line that `main` prints.
+    */
+  def run(spark: SparkSession, docsPath: String, workDir: String,
+          benchPath: Option[String], heldoutNumerator: Int): String = {
+    val cfg = DedupConfig()
+    val t0 = System.currentTimeMillis()
+    val raw = spark.read.parquet(docsPath)
+    val docs = (if (raw.columns.contains("doc_id")) Dedup.fromDocuments(raw)
+                else Dedup.fromPages(raw)).localCheckpoint(true)
+    val n0 = docs.count()
+
+    // 1. exact dedup: one shuffle on the content hash, keep min id
+    val afterExact = docs.join(
+      Dedup.exactDuplicates(docs).select(col("keeper_id").as("id")),
+      Seq("id"), "left_semi").localCheckpoint(true)
+    val n1 = afterExact.count()
+
+    // 2. near-dup clusters (bucket-checkpointed, skew-aware salted) +
+    //    quality-ranked canonical per cluster
+    val clusters = ResumableDedupJob.run(afterExact, cfg, workDir)
+    val keep = ResumableDedupJob.keepStage(afterExact, clusters, cfg, workDir)
+    val afterNear = afterExact
+      .join(keep.where(col("kept"))
+        .select(col("id"), col("cluster_id"), col("quality")), Seq("id"))
+      .localCheckpoint(true)
+    val n2 = afterNear.count()
+
+    // 3. quality + repetition filters (narrow kernel pass)
+    val rep = Curation.repetitionStats(afterNear, idCol = "id")
+    val afterQuality = afterNear
+      .join(rep, Seq("id"), "left_outer") // <2-token docs carry null stats
+      .where(col("quality") >= minQuality &&
+        coalesce(col("top_bigram_frac"), lit(0.0)) <= maxTopBigramFrac)
+      .localCheckpoint(true)
+    val n3 = afterQuality.count()
+
+    // 4. optional benchmark decontamination (broadcast gram semi-join)
+    val afterDecontam = benchPath match {
+      case Some(p) =>
+        val bench = spark.read.parquet(p)
+        val benchDocs =
+          if (bench.columns.contains("text")) bench
+          else bench.toDF("text") // one text column
+        val hit = Curation.contaminatedDocs(
+          afterQuality, benchDocs, decontamK, idCol = "id")
+        afterQuality.join(hit.select("id"), Seq("id"), "left_anti")
+          .localCheckpoint(true)
+      case None => afterQuality
+    }
+    val n4 = afterDecontam.count()
+
+    // 5. leakage-free split keyed by dup cluster
+    val split = Curation.leakageFreeSplit(
+      afterDecontam.select(col("id")), clusters, heldoutNumerator, idCol = "id")
+      .select(col("id"), col("split"))
+    val curated = afterDecontam
+      .select(col("id"), col("cluster_id"), col("quality"))
+      .join(split, Seq("id"))
+
+    val outDir = s"$workDir/curated/tag=${cfg.configTag}"
+    curated.write.mode(SaveMode.Overwrite).parquet(outDir)
+    val persisted: DataFrame = spark.read.parquet(outDir)
+    val nHeldout = persisted.where(col("split") === "heldout").count()
+    val nTrain = persisted.where(col("split") === "train").count()
+
+    val wall = (System.currentTimeMillis() - t0) / 1000.0
+    s"""{"job":"graft-curation","config_tag":"${cfg.configTag}","docs":$n0,""" +
+      s""""after_exact":$n1,"after_neardup":$n2,"after_quality":$n3,""" +
+      s""""after_decontam":$n4,"train":$nTrain,"heldout":$nHeldout,""" +
+      s""""wall_sec":$wall,"docs_per_sec":${n0 / wall}}"""
+  }
+}

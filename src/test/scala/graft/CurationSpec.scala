@@ -248,6 +248,42 @@ class CurationSpec extends SparkSpecBase {
     assert(r(3L) == ((2L, 0.0)))
   }
 
+  test("CurationJob: end-to-end funnel is monotone, split-complete and deterministic") {
+    import graft.pipeline.DedupConfig
+    val work = java.nio.file.Files.createTempDirectory("graft-curation").toString
+    val docsPath = s"$sfDir/documents.parquet"
+    val benchDir = s"$work/bench.parquet"
+    spark.read.parquet(docsPath).where(col("doc_id") % 23 === 0)
+      .select("text").write.parquet(benchDir)
+    CurationJob.run(spark, docsPath, work, Some(benchDir), 8192)
+    val curated = spark.read.parquet(
+      s"$work/curated/tag=${DedupConfig().configTag}").localCheckpoint(true)
+    val n0 = spark.read.parquet(docsPath).count()
+    val nCurated = curated.count()
+    assert(nCurated > 0 && nCurated < n0, "funnel must drop something and keep something")
+    // ids unique, every row split, both sides present at this numerator
+    assert(curated.select("id").distinct().count() == nCurated)
+    val sides = curated.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sides.keySet == Set("train", "heldout") && sides.values.sum == nCurated)
+    // near-dup keep: at most one survivor per cluster
+    val maxPerCluster = curated.groupBy("cluster_id").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxPerCluster == 1L)
+    // quality floor holds on every survivor
+    assert(curated.where(col("quality") < CurationJob.minQuality).count() == 0)
+    // decontamination really dropped the planted bench overlap: no
+    // survivor is a bench doc (bench texts are exact member docs)
+    val benchIds = spark.read.parquet(docsPath)
+      .where(col("doc_id") % 23 === 0).select(col("doc_id").as("id"))
+    assert(curated.join(benchIds, Seq("id"), "left_semi").count() == 0)
+    // rerun is deterministic (and resumes the signature checkpoints)
+    CurationJob.run(spark, docsPath, work, Some(benchDir), 8192)
+    val again = spark.read.parquet(s"$work/curated/tag=${DedupConfig().configTag}")
+    assert(again.orderBy("id").collect().toSeq ==
+      curated.orderBy("id").collect().toSeq)
+  }
+
   test("SeenFilter.notSeen == plain anti-join (bloom split is exact)") {
     val spark2 = spark
     import spark2.implicits._
