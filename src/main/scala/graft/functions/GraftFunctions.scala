@@ -32,7 +32,9 @@ object GraftFunctions {
     ("jaccard_sets", 2, es => Expressions.JaccardLongSets(es.head, es(1))),
     ("cosine_sim", 2, es => Expressions.CosineSim(es.head, es(1))),
     ("srp_sig", 3, es => Expressions.SrpSig(es.head, intArg(es(1)), intArg(es(2)))),
-    ("winnow_hashes", 3, es => Expressions.WinnowHashes(es.head, intArg(es(1)), intArg(es(2))))
+    ("winnow_hashes", 3, es => Expressions.WinnowHashes(es.head, intArg(es(1)), intArg(es(2)))),
+    ("repetition_stats", 1, es => Expressions.RepetitionStats(es.head)),
+    ("intersect_count", 2, es => Expressions.IntersectCountLongSets(es.head, es(1)))
   )
 
   private[graft] def checked(name: String, arity: Int,

@@ -33,6 +33,19 @@ class SqlFunctionsSpec extends SparkSpecBase {
       Expressions.winnowHashes(lower(col("text")), 8, 4).as("fp"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
     assert(wSql == wApi)
+    // repetition_stats / intersect_count (curation round): SQL == API
+    val rSql = spark.sql(
+      """SELECT id, repetition_stats(text) AS rs,
+        |  intersect_count(shingle_hashes(text, 3), shingle_hashes(text, 3)) AS ic
+        |FROM d""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2))).toSet
+    val rApi = docs.select(col("id"),
+      Expressions.repetitionStats(col("text")).as("rs"),
+      Expressions.intersectCount(
+        Expressions.shingleHashes(col("text"), 3),
+        Expressions.shingleHashes(col("text"), 3)).as("ic"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2))).toSet
+    assert(rSql == rApi)
   }
 
   test("full LSH pair query expressible in pure SQL matches Dedup.pairs") {
