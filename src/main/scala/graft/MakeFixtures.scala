@@ -19,7 +19,7 @@ object MakeFixtures {
   val fixtureQueries: Seq[String] =
     Seq("q_simhash_pairs", "q_doc_fingerprints", "q_ann_srp", "q_ann_ivf",
       "q_html_meta", "q_lang_id", "q_winnow_fp", "q_media_dedup",
-      "q_audio_dedup")
+      "q_audio_dedup", "q_compression_ratio")
   val sfDir = "/root/testdata/sf0.01"
 
   /** Optional args = subset of fixture names to regenerate (avoids

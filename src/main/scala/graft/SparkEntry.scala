@@ -266,6 +266,12 @@ object SparkEntry {
     // top-bigram coverage) — the standard repetition quality filter
     "q_repetition" -> ((s, dir) =>
       graft.queries.Curation.repetitionStats(documents(s, dir))),
+    // deflate-ratio quality signal (CCNet-style gibberish/repetition
+    // detector; zlib not SQL-expressible -> fixture oracle)
+    "q_compression_ratio" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        round(graft.functions.Expressions.compressionRatio(col("text")), 6)
+          .as("deflate_ratio"))),
     // GPT-3-style benchmark decontamination: shared word-4-grams vs a
     // benchmark slice (docs with doc_id % 23 == 0 play the eval suite)
     "q_decontaminate" -> ((s, dir) => {
@@ -499,6 +505,8 @@ object SparkEntry {
       "SELECT doc_id_a, doc_id_b, cosine FROM '/root/repo/fixtures/q_audio_dedup.parquet'",
     "q_winnow_fp" ->
       "SELECT doc_id, fp FROM '/root/repo/fixtures/q_winnow_fp.parquet'",
+    "q_compression_ratio" ->
+      "SELECT doc_id, deflate_ratio FROM '/root/repo/fixtures/q_compression_ratio.parquet'",
     // same arithmetic, same operand order, round(.,6) both engines;
     // \p{L} supported by both Java regex and RE2
     "q_quality_score" ->

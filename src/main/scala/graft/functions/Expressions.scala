@@ -156,6 +156,20 @@ object Expressions {
       copy(child = newChild)
   }
 
+  /** text -> deflate compression ratio (double) — fixture-pinned
+    * quality signal (see Kernels.compressionRatio).
+    */
+  case class CompressionRatio(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any =
+      Kernels.compressionRatio(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.compressionRatio($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Signed-random-projection sign-bit signature of a float embedding. */
   case class SrpSig(child: Expression, bits: Int, table: Int)
       extends UnaryExpression {
@@ -189,6 +203,8 @@ object Expressions {
       IntersectCountLongSets(GraftGlue.expression(a), GraftGlue.expression(b)))
   def repetitionStats(text: Column): Column =
     GraftGlue.column(RepetitionStats(GraftGlue.expression(text)))
+  def compressionRatio(text: Column): Column =
+    GraftGlue.column(CompressionRatio(GraftGlue.expression(text)))
   def winnowHashes(text: Column, w: Int, p: Int): Column =
     GraftGlue.column(WinnowHashes(GraftGlue.expression(text), w, p))
   def nearestCentroids(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column =

@@ -279,6 +279,26 @@ object Kernels {
     inter.toDouble / (ns + nb - inter)
   }
 
+  /** Deflate compression ratio of the UTF-8 text bytes (compressed /
+    * raw, level 6): the classic gibberish-and-repetition quality signal
+    * (very repetitive text ratios near 0, high-entropy noise near or
+    * above 1). Deterministic for a given JDK zlib; pinned by fixture,
+    * not a SQL oracle. Empty text maps to 1.0 (neutral).
+    */
+  def compressionRatio(text: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val raw = text.getBytes
+    if (raw.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(6, false)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / raw.length
+    } finally d.end()
+  }
+
   /** |A ∩ B| of two long-array SETS — the numerator the containment
     * metric needs (jaccard's denominator is the wrong normalizer for
     * small-doc-inside-big-doc pairs).

@@ -112,6 +112,28 @@ class CurationSpec extends SparkSpecBase {
     assert(Curation.contaminatedDocs(weird, weird, k = 50).count() == 0)
   }
 
+  test("compressionRatio: repetition compresses, entropy doesn't") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(99L)
+    val docs = Seq(
+      (1L, "spam " * 200),                                 // pure repetition
+      (2L, Seq.fill(200)(rnd.nextLong().toHexString).mkString(" ")), // noise
+      (3L, "")                                             // empty -> neutral 1.0
+    ).toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"),
+      graft.functions.Expressions.compressionRatio(col("text")).as("cr"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) < 0.05, s"repetitive text should compress hard, got ${r(1L)}")
+    assert(r(2L) > 0.5, s"high-entropy text should not, got ${r(2L)}")
+    assert(r(3L) == 1.0)
+    // deterministic across invocations (fixture-pinnable)
+    val again = docs.select(
+      graft.functions.Expressions.compressionRatio(col("text"))).collect()
+      .map(_.getDouble(0)).toSeq
+    assert(again == Seq(r(1L), r(2L), r(3L)))
+  }
+
   test("canonicalUrl: scheme/www/case/slash/fragment/utm variants collapse") {
     val spark2 = spark
     import spark2.implicits._
