@@ -28,6 +28,10 @@ object CurationJob {
   /** Funnel thresholds: lenient defaults a real corpus would tune. */
   val minQuality = 0.25
   val maxTopBigramFrac = 0.6
+  // deflate-ratio band: near 0 = degenerate repetition/spam, far above
+  // 1 = binary junk mislabeled as text
+  val minDeflateRatio = 0.02
+  val maxDeflateRatio = 1.2
   val decontamK = 4
 
   def main(args: Array[String]): Unit = {
@@ -76,12 +80,14 @@ object CurationJob {
       .localCheckpoint(true)
     val n2 = afterNear.count()
 
-    // 3. quality + repetition filters (narrow kernel pass)
+    // 3. quality + repetition + compressibility filters (narrow kernel passes)
     val rep = Curation.repetitionStats(afterNear, idCol = "id")
     val afterQuality = afterNear
       .join(rep, Seq("id"), "left_outer") // <2-token docs carry null stats
       .where(col("quality") >= minQuality &&
-        coalesce(col("top_bigram_frac"), lit(0.0)) <= maxTopBigramFrac)
+        coalesce(col("top_bigram_frac"), lit(0.0)) <= maxTopBigramFrac &&
+        graft.functions.Expressions.compressionRatio(col("text"))
+          .between(minDeflateRatio, maxDeflateRatio))
       .localCheckpoint(true)
     val n3 = afterQuality.count()
 

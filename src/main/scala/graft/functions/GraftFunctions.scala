@@ -34,7 +34,8 @@ object GraftFunctions {
     ("srp_sig", 3, es => Expressions.SrpSig(es.head, intArg(es(1)), intArg(es(2)))),
     ("winnow_hashes", 3, es => Expressions.WinnowHashes(es.head, intArg(es(1)), intArg(es(2)))),
     ("repetition_stats", 1, es => Expressions.RepetitionStats(es.head)),
-    ("intersect_count", 2, es => Expressions.IntersectCountLongSets(es.head, es(1)))
+    ("intersect_count", 2, es => Expressions.IntersectCountLongSets(es.head, es(1))),
+    ("compression_ratio", 1, es => Expressions.CompressionRatio(es.head))
   )
 
   private[graft] def checked(name: String, arity: Int,
