@@ -160,6 +160,26 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("canonicalUrl fuzz: arbitrary strings normalize without error, deterministically") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(31337L)
+    val chars = "abcXYZ019:/?#&=._-%\\ \t€ü"
+    val inputs = (1 to 300).map { _ =>
+      val len = rnd.nextInt(40)
+      (1 to len).map(_ => chars(rnd.nextInt(chars.length))).mkString
+    } :+ "" :+ "#" :+ "://" :+ "?utm_" :+ "www." :+ "////"
+    val df = inputs.toDF("url")
+    val once = df.select(
+      graft.functions.TextFunctions.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    val twice = df.select(
+      graft.functions.TextFunctions.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(once == twice, "normalization must be deterministic")
+    assert(once.forall(_ != null))
+  }
+
   test("containmentPairs finds an embedded quote that jaccard misses; matches inverted-index oracle") {
     val spark2 = spark
     import spark2.implicits._
