@@ -266,6 +266,23 @@ object SparkEntry {
     // top-bigram coverage) — the standard repetition quality filter
     "q_repetition" -> ((s, dir) =>
       graft.queries.Curation.repetitionStats(documents(s, dir))),
+    // PII redaction (emails -> IPv4 -> phone runs, shared-regex chain;
+    // PII synthesized deterministically — the corpus has none)
+    "q_pii_redact" -> ((s, dir) => {
+      val id = col("doc_id")
+      val t = concat(col("text"),
+        when(id % 3 === 0, concat(lit(" contact user"), id.cast("string"),
+          lit("@mail"), (id % 5).cast("string"), lit(".com"))).otherwise(lit("")),
+        when(id % 4 === 0, concat(lit(" from 10.0."),
+          (id % 256).cast("string"), lit(".17"))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" call +1 (555) 123-45"),
+          (id % 89).cast("string"))).otherwise(lit("")))
+      val red = graft.functions.TextFunctions.redactPii(t)
+      documents(s, dir).select(id,
+        ((length(red) - length(regexp_replace(red, java.util.regex.Pattern.quote("<PII>"), ""))) / 5)
+          .cast("long").as("n_pii"),
+        md5(red.cast("binary")).as("redacted_md5"))
+    }),
     // deflate-ratio quality signal (CCNet-style gibberish/repetition
     // detector; zlib not SQL-expressible -> fixture oracle)
     "q_compression_ratio" -> ((s, dir) =>
@@ -507,6 +524,24 @@ object SparkEntry {
       "SELECT doc_id, fp FROM '/root/repo/fixtures/q_winnow_fp.parquet'",
     "q_compression_ratio" ->
       "SELECT doc_id, deflate_ratio FROM '/root/repo/fixtures/q_compression_ratio.parquet'",
+    "q_pii_redact" ->
+      ("""WITH p AS (SELECT doc_id, text ||
+         |  (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |        '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.com' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.' ||
+         |        CAST(doc_id % 256 AS VARCHAR) || '.17' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 5 = 0 THEN ' call +1 (555) 123-45' ||
+         |        CAST(doc_id % 89 AS VARCHAR) ELSE '' END) AS t FROM documents),
+         |r1 AS (SELECT doc_id, regexp_replace(t,
+         |       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g') AS t FROM p),
+         |r2 AS (SELECT doc_id, regexp_replace(t,
+         |       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<PII>', 'g') AS t FROM r1),
+         |r3 AS (SELECT doc_id, regexp_replace(t,
+         |       '\+?\d[\d\s().-]{7,}\d', '<PII>', 'g') AS t FROM r2)
+         |SELECT doc_id,
+         |  CAST((len(t) - len(replace(t, '<PII>', ''))) / 5 AS BIGINT) AS n_pii,
+         |  md5(t) AS redacted_md5
+         |FROM r3""".stripMargin),
     // same arithmetic, same operand order, round(.,6) both engines;
     // \p{L} supported by both Java regex and RE2
     "q_quality_score" ->

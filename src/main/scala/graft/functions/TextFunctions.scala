@@ -176,6 +176,22 @@ object TextFunctions {
     regexp_replace(noUtm, "/+$", "")
   }
 
+  /** PII scrubbing — the standard pre-training redaction pass: emails,
+    * IPv4 addresses, then phone-like digit runs are replaced by
+    * `token`, IN THIS ORDER (IPv4 must go before the phone pattern,
+    * which would otherwise swallow dotted quads). Every regex is
+    * RE2-and-Java-shared with a literal replacement, so the DuckDB
+    * oracle applies the identical chain (with the 'g' flag — DuckDB
+    * replaces first-match-only by default, Spark replaces all).
+    */
+  def redactPii(text: Column, token: String = "<PII>"): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", token)
+    val ipv4 = regexp_replace(email,
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", token)
+    regexp_replace(ipv4, "\\+?\\d[\\d\\s().-]{7,}\\d", token)
+  }
+
   /** Rolling-hash winnowing fingerprints: hashes of char w-grams sampled
     * where hash % p == 0 (content-defined sampling — robust to shifts).
     * Kernel-backed (one codegen'd call per row): the equivalent

@@ -112,6 +112,26 @@ class CurationSpec extends SparkSpecBase {
     assert(Curation.contaminatedDocs(weird, weird, k = 50).count() == 0)
   }
 
+  test("redactPii: emails, dotted quads, phone runs — order matters") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cases = Seq(
+      ("mail me at jo.na+tag@sub.example.org today",
+        "mail me at <PII> today"),
+      ("server 192.168.0.1 and 10.20.30.40 up", "server <PII> and <PII> up"),
+      ("call +1 (555) 123-4567 now", "call <PII> now"),
+      // the ip must be eaten by the IPv4 rule, not the phone rule
+      ("ip 10.0.37.17 then +44 7700 900123 end", "ip <PII> then <PII> end"),
+      ("no pii here at all", "no pii here at all")
+    )
+    val got = cases.map(_._1).toDF("t")
+      .select(col("t"), graft.functions.TextFunctions.redactPii(col("t")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"redactPii($in) = ${got(in)}, want $want")
+    }
+  }
+
   test("compressionRatio: repetition compresses, entropy doesn't") {
     val spark2 = spark
     import spark2.implicits._
