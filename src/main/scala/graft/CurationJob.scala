@@ -29,10 +29,27 @@ object CurationJob {
   val minQuality = 0.25
   val maxTopBigramFrac = 0.6
   // deflate-ratio band: near 0 = degenerate repetition/spam, far above
-  // 1 = binary junk mislabeled as text
+  // 1 = binary junk mislabeled as text. The CEILING only applies to
+  // docs of at least minLenForDeflateCeiling chars: zlib's fixed
+  // ~11-byte header dominates short inputs, so a legitimate short doc
+  // ratios above 1 without being junk.
   val minDeflateRatio = 0.02
   val maxDeflateRatio = 1.2
+  val minLenForDeflateCeiling = 200
   val decontamK = 4
+
+  /** Stage-3 text-quality predicate over (quality, top_bigram_frac,
+    * text) columns — exposed so the filter semantics are directly
+    * testable (short-doc survival, spam rejection).
+    */
+  def textFilters: org.apache.spark.sql.Column = {
+    val ratio = graft.functions.Expressions.compressionRatio(col("text"))
+    col("quality") >= minQuality &&
+      coalesce(col("top_bigram_frac"), lit(0.0)) <= maxTopBigramFrac &&
+      ratio >= minDeflateRatio &&
+      (length(col("text")) < minLenForDeflateCeiling ||
+        ratio <= maxDeflateRatio)
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
@@ -58,6 +75,23 @@ object CurationJob {
   def run(spark: SparkSession, docsPath: String, workDir: String,
           benchPath: Option[String], heldoutNumerator: Int): String = {
     val cfg = DedupConfig()
+    // the resumable stages key their checkpoints by configTag only, so
+    // a workDir must never be shared across corpora: a marker pins the
+    // corpus path and refuses silent reuse of stale signature buckets
+    val marker = new org.apache.hadoop.fs.Path(workDir, "_corpus_path")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val prev = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      require(prev == docsPath,
+        s"workDir $workDir was built from corpus '$prev'; refusing to mix " +
+          s"with '$docsPath' — use a fresh workDir")
+    } else {
+      val out = fs.create(marker, true)
+      try out.write(docsPath.getBytes("UTF-8")) finally out.close()
+    }
     val t0 = System.currentTimeMillis()
     val raw = spark.read.parquet(docsPath)
     val docs = (if (raw.columns.contains("doc_id")) Dedup.fromDocuments(raw)
@@ -84,10 +118,7 @@ object CurationJob {
     val rep = Curation.repetitionStats(afterNear, idCol = "id")
     val afterQuality = afterNear
       .join(rep, Seq("id"), "left_outer") // <2-token docs carry null stats
-      .where(col("quality") >= minQuality &&
-        coalesce(col("top_bigram_frac"), lit(0.0)) <= maxTopBigramFrac &&
-        graft.functions.Expressions.compressionRatio(col("text"))
-          .between(minDeflateRatio, maxDeflateRatio))
+      .where(textFilters)
       .localCheckpoint(true)
     val n3 = afterQuality.count()
 

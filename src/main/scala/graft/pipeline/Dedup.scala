@@ -275,15 +275,21 @@ object Dedup {
     val sh = shingled.select(col("id"), size(col("shingles")).as("c"),
       explode(col("shingles")).as("h"))
     val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    // +2 not +1: verification compares the DOUBLE quotient against tau,
+    // which can round up across tau while ceil(c*tau) lands one above
+    // the achievable overlap — one element of window slack makes the
+    // prefix bound robust to that boundary (extra candidates are
+    // removed by the exact verify, so the pair set is unchanged)
     val prefix = sh.join(freq, "h")
       .withColumn("rn", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("h"))))
-      .where(col("rn") <= col("c") - ceil(col("c") * cfg.threshold) + 1)
+      .where(col("rn") <= col("c") - ceil(col("c") * cfg.threshold) + 2)
       .select("id", "h", "c")
     prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
-          col("b.c") * cfg.threshold <= col("a.c") &&
-          col("a.c") * cfg.threshold <= col("b.c"))
+          // length pruning with the same one-unit boundary slack
+          col("b.c") * cfg.threshold <= col("a.c") + 1 &&
+          col("a.c") * cfg.threshold <= col("b.c") + 1)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
@@ -312,18 +318,28 @@ object Dedup {
     * plain inverted-index join which pays f²/2.
     */
   def containmentPairs(docs: DataFrame, cfg: DedupConfig,
-                       tau: Double): DataFrame = {
+                       tau: Double, materialize: Boolean = true): DataFrame = {
+    // materialize=false returns the LAZY plan (no persist/checkpoint) —
+    // for plan inspection (DumpPlans): localCheckpoint collapses the
+    // lineage to Scan ExistingRDD, hiding the join shape
     import org.apache.spark.sql.expressions.Window
-    val shingled = shingleSets(docs, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shingled0 = shingleSets(docs, cfg)
+    val shingled =
+      if (materialize)
+        shingled0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shingled0
     try {
       val sh = shingled.select(col("id"), size(col("shingles")).as("c"),
         explode(col("shingles")).as("h"))
       val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      // +2 not +1: the verify predicate is the DOUBLE quotient i/|A| >=
+      // tau, which can round up across tau while ceil(c*tau) = i+1 in
+      // exact arithmetic — one element of slack keeps the window
+      // complete at such boundaries (exact verify removes the extras)
       val prefix = sh.join(freq, "h")
         .withColumn("rn", row_number().over(
           Window.partitionBy("id").orderBy(col("df"), col("h"))))
-        .where(col("rn") <= col("c") - ceil(col("c") * tau) + 1)
+        .where(col("rn") <= col("c") - ceil(col("c") * tau) + 2)
         .select(col("id"), col("h"), col("c"))
       val cands = prefix.as("a").join(sh.as("b"),
           col("a.h") === col("b.h") &&
@@ -333,7 +349,7 @@ object Dedup {
         .distinct()
       val sa = shingled.select(col("id").as("small_id"), col("shingles").as("sh_a"))
       val sb = shingled.select(col("id").as("big_id"), col("shingles").as("sh_b"))
-      cands.join(sa, "small_id").join(sb, "big_id")
+      val result = cands.join(sa, "small_id").join(sb, "big_id")
         .withColumn("containment",
           graft.functions.Expressions.intersectCount(col("sh_a"), col("sh_b"))
             .cast("double") / size(col("sh_a")))
@@ -341,8 +357,8 @@ object Dedup {
         .select(least(col("small_id"), col("big_id")).as("id_a"),
           greatest(col("small_id"), col("big_id")).as("id_b"),
           col("containment"))
-        .localCheckpoint(true)
-    } finally { shingled.unpersist(); () }
+      if (materialize) result.localCheckpoint(true) else result
+    } finally { if (materialize) { shingled.unpersist(); () } }
   }
 
   /** Pairs -> cluster assignments via distributed connected components

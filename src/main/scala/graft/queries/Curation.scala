@@ -44,9 +44,14 @@ object Curation {
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame =
     docs
+      // cheap token-count predicate BEFORE the kernel (same convention
+      // as Dedup.shingleSets): filtering on the kernel's own output
+      // would make Catalyst evaluate the kernel in the Filter AND the
+      // Project; the two element_at projections below share one kernel
+      // call via per-operator subexpression elimination
+      .where(size(split(col(textCol), " ")) >= 2)
       .select(col(idCol),
         graft.functions.Expressions.repetitionStats(col(textCol)).as("_rs"))
-      .where(element_at(col("_rs"), 1) >= 2.0)
       .select(col(idCol),
         round(element_at(col("_rs"), 2), 6).as("dup_token_frac"),
         round(element_at(col("_rs"), 3), 6).as("top_bigram_frac"))

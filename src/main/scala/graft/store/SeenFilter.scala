@@ -37,7 +37,11 @@ object SeenFilter {
 
   /** Rows of `fresh` whose key is NOT in the store: bloom-miss rows
     * flow straight through; bloom-hit rows are verified with an
-    * anti-join restricted to that residue.
+    * anti-join restricted to that residue. Returns an eagerly
+    * materialized result (localCheckpoint): the two branches read the
+    * flagged batch from ONE persisted scan instead of recomputing the
+    * upstream `fresh` lineage (and the bloom probe) twice, and the
+    * cache is released before returning.
     */
   def notSeen(fresh: DataFrame, key: Column, bloom: BloomFilter,
               store: DataFrame, storeKey: Column): DataFrame = {
@@ -45,11 +49,18 @@ object SeenFilter {
     val bcast = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => s != null && bcast.value.mightContainString(s))
     val flagged = fresh.withColumn("_maybe_seen", mightContain(key.cast("string")))
-    val definite = flagged.where(!col("_maybe_seen")).drop("_maybe_seen")
-    val residue = flagged.where(col("_maybe_seen")).drop("_maybe_seen")
-    val verified = residue.join(
-      store.select(storeKey.cast("string").as("_seen_key")).distinct(),
-      key.cast("string") === col("_seen_key"), "left_anti")
-    definite.unionByName(verified)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val definite = flagged.where(!col("_maybe_seen")).drop("_maybe_seen")
+      val residue = flagged.where(col("_maybe_seen")).drop("_maybe_seen")
+      // NO distinct() on the store side: a left-anti join is
+      // insensitive to right-side duplicates, and a store-wide dedup
+      // aggregate per cadence is the very shuffle this operator exists
+      // to avoid
+      val verified = residue.join(
+        store.select(storeKey.cast("string").as("_seen_key")),
+        key.cast("string") === col("_seen_key"), "left_anti")
+      definite.unionByName(verified).localCheckpoint(true)
+    } finally { flagged.unpersist(); () }
   }
 }

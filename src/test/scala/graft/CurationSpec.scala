@@ -310,6 +310,36 @@ class CurationSpec extends SparkSpecBase {
     assert(r(3L) == ((2L, 0.0)))
   }
 
+  test("CurationJob.textFilters: short legitimate docs survive the deflate ceiling; spam still dies") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      // short legit doc: deflate ratio > 1 from zlib fixed overhead,
+      // must NOT be dropped (the ceiling is length-gated)
+      (1L, "The quick brown fox jumps over the lazy dog today.", 0.9, 0.1),
+      // long repetitive spam: ratio near 0 -> floor kills it
+      (2L, "buy now " * 200, 0.9, 0.1),
+      // quality floor still applies
+      (3L, "an ordinary document with plain words in it", 0.1, 0.1)
+    ).toDF("id", "text", "quality", "top_bigram_frac")
+    val kept = rows.where(CurationJob.textFilters)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"expected only the short legit doc, got $kept")
+  }
+
+  test("CurationJob refuses a workDir built from a different corpus") {
+    val work = java.nio.file.Files.createTempDirectory("graft-guard").toString
+    val docsPath = s"$sfDir/documents.parquet"
+    // pin the marker cheaply (full funnel correctness is covered below)
+    val marker = new java.io.File(work, "_corpus_path")
+    java.nio.file.Files.write(marker.toPath,
+      "/some/other/corpus.parquet".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      CurationJob.run(spark, docsPath, work, None, 8192)
+    }
+    assert(e.getMessage.contains("refusing to mix"))
+  }
+
   test("CurationJob: end-to-end funnel is monotone, split-complete and deterministic") {
     import graft.pipeline.DedupConfig
     val work = java.nio.file.Files.createTempDirectory("graft-curation").toString
