@@ -38,16 +38,27 @@ object Bench {
     }
     val docsPerSec = nDocs / pipeSec
 
+    // a failing query must NOT be silently recorded as a fast success
+    // (its error-path wall time would read as a performance win) — it
+    // keeps the run alive but is reported in "failed"
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timedMin {
-        try { fn(spark, sfDir).count(): Unit } catch { case _: Throwable => }
+        try { fn(spark, sfDir).count(): Unit }
+        catch { case e: Throwable =>
+          if (!failed.contains(name)) {
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
+        }
       }
     }
     val qs = (results :+ ("pipeline_clusters" -> pipeSec))
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + pipeSec
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":$docsPerSec,"n_docs":$nDocs,"reps":$reps,"agg":"min"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","docs_per_sec":$docsPerSec,"n_docs":$nDocs,"reps":$reps,"agg":"min"}""")
     spark.stop()
   }
 }

@@ -44,11 +44,16 @@ object CurationJob {
     */
   def textFilters: org.apache.spark.sql.Column = {
     val ratio = graft.functions.Expressions.compressionRatio(col("text"))
+    // one deflate pass per row: FilterExec splits conjuncts and does
+    // not share subexpressions across them, so `ratio >= floor && ...
+    // ratio <= ceiling` would deflate the text twice — CaseWhen
+    // branches are lazily evaluated, so each row runs the kernel once
+    val deflateOk = when(length(col("text")) < minLenForDeflateCeiling,
+      ratio >= minDeflateRatio)
+      .otherwise(ratio.between(minDeflateRatio, maxDeflateRatio))
     col("quality") >= minQuality &&
       coalesce(col("top_bigram_frac"), lit(0.0)) <= maxTopBigramFrac &&
-      ratio >= minDeflateRatio &&
-      (length(col("text")) < minLenForDeflateCeiling ||
-        ratio <= maxDeflateRatio)
+      deflateOk
   }
 
   def main(args: Array[String]): Unit = {

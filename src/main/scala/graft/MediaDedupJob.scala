@@ -29,11 +29,18 @@ object MediaDedupJob {
     md.digest(json.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(40)
   }
 
+  /** Defaults shared by run() and main()'s tag re-derivation — a
+    * drifted copy would make main read a nonexistent clusters path.
+    */
+  val defaultStride = 1
+  val defaultDim = 16
+
   /** Run the full media pipeline durable into workDir; returns the
     * keep-list DataFrame (read back from its durable location).
     */
   def run(media: DataFrame, workDir: String, threshold: Double = 0.995,
-          mode: String = "exact", stride: Int = 1, dim: Int = 16): DataFrame = {
+          mode: String = "exact", stride: Int = defaultStride,
+          dim: Int = defaultDim): DataFrame = {
     require(mode == "exact" || mode == "lsh", s"mode must be exact|lsh, got $mode")
     val spark = media.sparkSession
     val tag = configTag(threshold, mode, stride, dim)
@@ -73,7 +80,7 @@ object MediaDedupJob {
     val keep = run(media, workDir, threshold, mode)
     val nItems = media.count()
     val nKept = keep.where(col("kept")).count()
-    val tag = configTag(threshold, mode, 1, 16)
+    val tag = configTag(threshold, mode, defaultStride, defaultDim)
     val nClusters = spark.read.parquet(s"$workDir/clusters/tag=$tag")
       .select("cluster_id").distinct().count()
     val wall = (System.currentTimeMillis() - t0) / 1000.0

@@ -64,11 +64,23 @@ object SparkEntry {
     * would misrepresent the serving layer. localCheckpoint = the local
     * stand-in for the matches table.
     */
+  // weak keys: a stopped-and-collected session's entries vanish with
+  // it — an identity-hash key could be reassigned to a NEW session and
+  // hand back a DataFrame bound to the dead SparkContext
   private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-  private def pairsFor(s: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate((System.identityHashCode(s), dir),
-      Dedup.pairsMaterialized(docs(s, dir), cfg))
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  private def pairsFor(s: SparkSession, dir: String): DataFrame = {
+    val perSession = pairsCache.synchronized {
+      var m = pairsCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        pairsCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir, Dedup.pairsMaterialized(docs(s, dir), cfg))
+  }
 
   /** pairs as a similarity edge table for the serving queries. */
   private def edges(s: SparkSession, dir: String): DataFrame =

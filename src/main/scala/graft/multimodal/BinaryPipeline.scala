@@ -114,7 +114,13 @@ object BinaryPipeline {
     if (bpp != 24 || compression != 0 || width <= 0 || heightRaw == 0) return None
     val height = math.abs(heightRaw)
     val topDown = heightRaw < 0
-    val stride = ((width * 3 + 3) / 4) * 4
+    // forged-header bounds in LONG arithmetic + the same pixel cap the
+    // PNG/GIF decoders enforce: width*3 and width*height overflow Int
+    // for hostile dimensions, turning the extent check into a pass and
+    // the allocation into a multi-GB OOM
+    if (dataOff < 0 || height < 0 ||
+      width.toLong * height > (1L << 26)) return None
+    val stride = (((width.toLong * 3) + 3) / 4 * 4).toInt
     if (dataOff.toLong + stride.toLong * height > bytes.length) return None
     val out = new Array[Double](width * height)
     var y = 0
@@ -776,7 +782,9 @@ object BinaryPipeline {
     var samples: Array[Double] = null
     while (pos + 8 <= bytes.length && samples == null) {
       val size = le32(pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length) return None
+      // extent check in LONG: pos + 8 + size wraps negative for a
+      // forged size near Int.MaxValue and would pass the Int compare
+      if (size < 0 || pos.toLong + 8L + size > bytes.length) return None
       if (tag(pos, "fmt ")) {
         if (size < 16) return None
         val audioFormat = le16(pos + 8)

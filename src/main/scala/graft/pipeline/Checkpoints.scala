@@ -81,9 +81,12 @@ object ResumableDedupJob {
       val withBucket = docs
         .withColumn("bucket", pmod(xxhash64(col("id")), lit(buckets)).cast("int"))
         .where(col("bucket").isin(missing: _*))
+      // bucket is a pure function of the id the signature rows already
+      // carry — recompute it narrowly instead of re-scanning docs and
+      // shuffling both sides on id just to re-attach it
       val sigs = Dedup.signatures(Dedup.shingleSets(
-          withBucket.select(col("id"), col("text"), col("bucket")), cfg), cfg)
-        .join(withBucket.select(col("id"), col("bucket")), "id")
+          withBucket.select(col("id"), col("text")), cfg), cfg)
+        .withColumn("bucket", pmod(xxhash64(col("id")), lit(buckets)).cast("int"))
       // dynamic partition overwrite: a crash after a bucket's files
       // committed but before store.record would otherwise leave rows
       // that a resume re-appends (duplicate signatures); overwrite of

@@ -64,8 +64,10 @@ object Dedup {
     docs
       // filter on the cheap token-count predicate BEFORE hashing: a
       // filter on the shingle array would make Catalyst evaluate the
-      // hashing kernel twice per row (once in Filter, once in Project)
-      .where(size(split(col("text"), " ")) >= cfg.shingleK)
+      // hashing kernel twice per row (once in Filter, once in Project).
+      // minTokens (F7, reference min-duration analog) is enforced here
+      // — it can only raise the floor above the shingleK minimum
+      .where(size(split(col("text"), " ")) >= math.max(cfg.shingleK, cfg.minTokens))
       .select(col("id"), Expressions.shingleHashes(col("text"), cfg.shingleK).as("shingles"))
 
   /** Stage 2 — MinHash signatures + SimHash fingerprint per doc.

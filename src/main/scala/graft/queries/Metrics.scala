@@ -23,16 +23,21 @@ object Metrics {
         Seq("query_id", "neighbor_id"), "left_outer")
       .withColumn("rel", coalesce(col("rel"), lit(0)))
     val w = Window.partitionBy("query_id").orderBy("rank")
-    val ap = marked
+    val sums = marked
       .withColumn("cum_rel", sum(col("rel")).over(w))
       .withColumn("prec_at_k",
         when(col("rel") === 1, col("cum_rel").cast("double") / col("rank")))
       .groupBy("query_id")
-      .agg((sum(col("prec_at_k")) /
-        greatest(sum(col("rel")), lit(1))).as("ap"),
-        sum(col("rel")).as("n_rel"))
-      .where(col("n_rel") > 0)
-    val r = ap.agg(avg(col("ap"))).head()
+      .agg(sum(col("prec_at_k")).as("sum_prec"))
+    // the AP denominator is the TOTAL relevant count per query from
+    // TRUTH — retrieved or not — and a query whose relevants were
+    // never retrieved scores 0 instead of being dropped: otherwise a
+    // near-zero-recall config could report mAP ~1 (only queries with
+    // no truth at all are outside the mean, per the standard protocol)
+    val perQuery = truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+      .join(sums, Seq("query_id"), "left_outer")
+      .select((coalesce(col("sum_prec"), lit(0.0)) / col("n_true")).as("ap"))
+    val r = perQuery.agg(avg(col("ap"))).head()
     if (r.isNullAt(0)) 0.0 else r.getDouble(0)
   }
 

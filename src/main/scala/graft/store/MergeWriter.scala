@@ -59,15 +59,29 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
     val raw = spark.read.option("basePath", dir).parquet(dir)
     val maxBatch = raw.agg(max(col("_batch"))).head().get(0).toString.toLong
     val tmp = s"$path/_compact_tmp"
-    // materialize BEFORE deleting anything
+    // materialize BEFORE touching the live store
     read().withColumn("_batch", lit(maxBatch))
       .write.mode(SaveMode.Overwrite).parquet(tmp)
+    // stash-then-swap (same discipline as IncrementalIngest
+    // .compactStores): the live _batch= dirs are moved aside, the
+    // compacted data renamed in, THEN the stash is deleted — a crash
+    // at any point leaves either the old store or the new one
+    // readable, never an empty dir
     val d = new java.io.File(dir)
-    Option(d.listFiles()).getOrElse(Array.empty)
+    val stash = new java.io.File(s"$path/_compact_stash")
+    stash.mkdirs()
+    val moved = Option(d.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("_batch="))
-      .foreach(deleteRecursively)
-    require(new java.io.File(tmp).renameTo(new java.io.File(s"$dir/_batch=$maxBatch")),
-      s"compact: rename of $tmp failed")
+    moved.foreach { f =>
+      require(f.renameTo(new java.io.File(stash, f.getName)),
+        s"compact: stash of ${f.getName} failed")
+    }
+    if (!new java.io.File(tmp).renameTo(new java.io.File(s"$dir/_batch=$maxBatch"))) {
+      // roll back so the store stays readable, then fail loudly
+      moved.foreach(f => new java.io.File(stash, f.getName).renameTo(f))
+      sys.error(s"compact: rename of $tmp failed (rolled back)")
+    }
+    deleteRecursively(stash)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

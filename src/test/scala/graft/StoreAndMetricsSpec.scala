@@ -53,6 +53,22 @@ class StoreAndMetricsSpec extends SparkSpecBase {
     assert(math.abs(m - ((0.5 + 2.0 / 3) / 2 + 0.5) / 2) < 1e-9)
   }
 
+  test("mAP: unretrieved truth pairs lower the score; zero-recall query scores 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("query_id", "neighbor_id")
+    // q1 retrieves only one of its two relevants (at rank 1); q2
+    // retrieves nothing relevant at all
+    val partial = Seq(
+      (1L, 10L, 1), (1L, 99L, 2),
+      (2L, 98L, 1)
+    ).toDF("query_id", "neighbor_id", "rank")
+    val m = Metrics.meanAveragePrecision(partial, truth)
+    // AP(q1) = (1/1) / 2 relevants = 0.5; AP(q2) = 0 -> mean 0.25
+    assert(math.abs(m - 0.25) < 1e-12,
+      s"missed relevants must be penalized, got $m")
+  }
+
   test("pair precision/recall") {
     val spark2 = spark
     import spark2.implicits._
