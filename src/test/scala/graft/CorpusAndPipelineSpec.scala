@@ -37,14 +37,14 @@ class CorpusAndPipelineSpec extends SparkSpecBase {
 
   test("originals never collide: no cross-original pairs at threshold (RNG stream independence)") {
     val origs = Dedup.fromPages(pages.where(!col("url").contains("/v")))
-    val accidental = Dedup.pairs(origs, cfg).count()
+    val accidental = Dedup.pairsMaterialized(origs, cfg).count()
     assert(accidental == 0,
       s"$accidental accidental near-dup pairs between independent originals")
   }
 
   test("pipeline recall >= 0.99 on planted near-dup pairs above threshold") {
     val docs = Dedup.fromPages(pages)
-    val got = Dedup.pairs(docs, cfg).select("id_a", "id_b")
+    val got = Dedup.pairsMaterialized(docs, cfg).select("id_a", "id_b")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     // ground truth: label pairs whose true word-3-gram jaccard >= tau
     val texts = pages.select("url", "text").collect()
@@ -65,9 +65,9 @@ class CorpusAndPipelineSpec extends SparkSpecBase {
     val (skewed, _) = SynthCorpus.generate(spark, seed = 7L, nBase = 300,
       dupRate = 0.1, skewBoilerplate = true)
     val docs = Dedup.fromPages(skewed)
-    val plain = Dedup.pairs(docs, cfg, saltBuckets = 1)
+    val plain = Dedup.pairsMaterialized(docs, cfg, saltBuckets = 1)
       .select("id_a", "id_b").collect().map(r => (r.getString(0), r.getString(1))).toSet
-    val salted = Dedup.pairs(docs, cfg, saltBuckets = 8)
+    val salted = Dedup.pairsMaterialized(docs, cfg, saltBuckets = 8)
       .select("id_a", "id_b").collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(plain == salted)
     // skew-aware selective salting: same pair set, replication only on

@@ -253,11 +253,16 @@ class CurationSpec extends SparkSpecBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(bySide.values.sum == docs.count())
     assert(bySide("heldout") > 0 && bySide("train") > 0)
-    // cluster members share their cluster's side even when their own
-    // doc-id hash would say otherwise: doc-level sampling DOES straddle
-    val docLevel = Curation.deterministicSample(
-      split.where(col("split") === "train"), col("doc_id"), 8192).count()
-    assert(docLevel > 0, "doc-level hash selects some train docs (would leak)")
+    // contrast property: the DOC-level hash split genuinely straddles
+    // at least one multi-member cluster on this corpus — i.e. the
+    // leakage leakageFreeSplit prevents is real, not hypothetical
+    val docFlag = split.withColumn("_doc_side",
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4) < "2000")
+    val straddled = docFlag.groupBy("cluster_id")
+      .agg(countDistinct(col("_doc_side")).as("k"), count(lit(1)).as("n"))
+      .where(col("n") > 1 && col("k") > 1).count()
+    assert(straddled > 0,
+      "doc-level hashing must split some cluster across train/heldout")
   }
 
   test("containment prefix completeness (property): random hot-shingle corpora x taus match brute force") {

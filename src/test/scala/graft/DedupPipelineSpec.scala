@@ -28,7 +28,7 @@ class DedupPipelineSpec extends SparkSpecBase {
   }
 
   test("LSH pipeline pair set == brute-force exact-jaccard pairs (recall and precision 1.0 at threshold 0.5)") {
-    val got = Dedup.pairs(docs, cfg).collect()
+    val got = Dedup.pairsMaterialized(docs, cfg).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val want = bruteForcePairs(cfg.threshold)
     assert(want.nonEmpty, "corpus should contain planted near-duplicates")
@@ -45,15 +45,15 @@ class DedupPipelineSpec extends SparkSpecBase {
   }
 
   test("salted candidate join produces the identical pair set") {
-    val plain = Dedup.pairs(docs, cfg, saltBuckets = 1).select("id_a", "id_b")
+    val plain = Dedup.pairsMaterialized(docs, cfg, saltBuckets = 1).select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val salted = Dedup.pairs(docs, cfg, saltBuckets = 5).select("id_a", "id_b")
+    val salted = Dedup.pairsMaterialized(docs, cfg, saltBuckets = 5).select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(plain == salted)
   }
 
   test("clusters = connected components of pair graph, id = min member (sequential union-find oracle)") {
-    val pairEdges = Dedup.pairs(docs, cfg)
+    val pairEdges = Dedup.pairsMaterialized(docs, cfg)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     // sequential union-find oracle
     val parent = scala.collection.mutable.Map[Long, Long]()
@@ -66,13 +66,13 @@ class DedupPipelineSpec extends SparkSpecBase {
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
     val want = parent.keys.map(k => k -> find(k)).toMap
-    val got = Dedup.clusters(Dedup.pairs(docs, cfg))
+    val got = Dedup.clusters(Dedup.pairsMaterialized(docs, cfg))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == want)
   }
 
   test("cluster assignment invariant across shuffle-partition settings") {
-    val p = Dedup.pairs(docs, cfg)
+    val p = Dedup.pairsMaterialized(docs, cfg)
     val base = Dedup.clusters(p).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val re = Dedup.clusters(p.repartition(17)).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -13,13 +13,18 @@ class FunctionsSpec extends SparkSpecBase {
   import org.apache.spark.sql.catalyst.util.GenericArrayData
 
   /** Deterministic ScalaCheck sampling. */
-  private def samples[T](g: Gen[T], n: Int = 60): Seq[T] = {
+  private def samples[T](g: Gen[T], n: Int = 60,
+                         seed0: Long = 42L): Seq[T] = {
     val params = org.scalacheck.Gen.Parameters.default
     (0 until n).flatMap(i =>
-      g.apply(params, org.scalacheck.rng.Seed(42L + i)))
+      g.apply(params, org.scalacheck.rng.Seed(seed0 + i)))
   }
+  // the two streams MUST use distinct seed bases: with a shared base,
+  // identical generator shapes yield xs == ys in every sample, making
+  // e.g. the merge-commutativity property vacuous (confirmed 60/60
+  // identical under scalacheck 1.18)
   private def forAll2[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
-    samples(ga).zip(samples(gb)).foreach { case (a, b) => f(a, b) }
+    samples(ga).zip(samples(gb, seed0 = 90042L)).foreach { case (a, b) => f(a, b) }
 
   test("shingle kernel == builtin array_distinct(transform(.., xxhash64)) bit-for-bit") {
     val spark2 = spark
@@ -87,7 +92,14 @@ class FunctionsSpec extends SparkSpecBase {
     assert(fx == fx2) // order-insensitive
     val fy = Kernels.simhash64(y)
     val d = java.lang.Long.bitCount(fx ^ fy)
-    assert(d >= 0 && d <= 64)
+    // these two 4-element sets differ in one element, so their bit
+    // votes differ and the fingerprints must not collide (deterministic
+    // for this fixed input — a constant-output regression fails here)
+    assert(d > 0 && d <= 64, s"expected differing fingerprints, hamming=$d")
+    // disjoint sets get (near-)independent fingerprints — a constant
+    // or input-insensitive kernel collides here
+    val fz = Kernels.simhash64(new GenericArrayData(Array(7001L, 7002L, 7003L, 7004L)))
+    assert(fz != fx, "disjoint input sets must not produce identical fingerprints")
   }
 
   test("extractText: tags/scripts/styles/entities stripped, whitespace collapsed") {

@@ -65,10 +65,12 @@ class PlanSpec extends SparkSpecBase {
     assert(sigLines.nonEmpty, s"custom expression missing from plan:\n$plan")
     assert(sigLines.forall(_.contains("*(")),
       s"minhash project fell out of whole-stage codegen: $sigLines")
-    // the shingle kernel must be evaluated exactly once per row (a
-    // filter on the hashed array would duplicate it in Filter+Project)
+    // the shingle kernel must be evaluated exactly once per row: a
+    // filter on the hashed array would duplicate it in Filter+Project,
+    // so any second occurrence in the plan is the regression this gate
+    // exists to catch
     val hashCount = "shinglehashes".r.findAllIn(plan).size
-    assert(hashCount <= 2, // 1 in Project + 1 echoed in FileScan DataFilters is NOT ok; expect project-only
+    assert(hashCount == 1,
       s"shinglehashes appears $hashCount times in plan:\n$plan")
   }
 
