@@ -13,23 +13,22 @@ import org.apache.spark.sql.functions._
   * missing buckets; a config-tag change invalidates everything
   * (reference `repr_key.py:10-15` semantics).
   *
-  * Storage is a plain parquet directory (in production: an Iceberg
-  * table with MERGE; parquet-append + read-time dedup keeps the same
-  * idempotent contract here without the Iceberg runtime).
+  * Storage is a [[graft.store.TxLog]] table: atomic append commits, so
+  * a crash mid-record never leaves a half-written checkpoint, and a
+  * transient read failure is never mistaken for "no checkpoints" (only
+  * a genuinely never-committed table reads as empty — a corrupt data
+  * file PROPAGATES and fails the run loudly).
   */
 final class CheckpointStore(spark: SparkSession, path: String) {
   import spark.implicits._
 
-  private def tableDir = s"$path/checkpoints"
+  private val log = new graft.store.TxLog(s"$path/checkpoints")
 
   def read(): DataFrame = {
     val empty = spark.createDataset(
       Seq.empty[(String, Int, String, Long, Long, Long)])
       .toDF("stage", "bucket", "config_tag", "rows", "wall_ms", "ts")
-    try {
-      val df = spark.read.parquet(tableDir)
-      if (df.columns.nonEmpty) df else empty
-    } catch { case _: Throwable => empty }
+    log.read(spark).getOrElse(empty)
   }
 
   /** Buckets already completed for (stage, configTag). */
@@ -37,15 +36,19 @@ final class CheckpointStore(spark: SparkSession, path: String) {
     read().where(col("stage") === stage && col("config_tag") === configTag)
       .select("bucket").distinct().as[Int].collect().toSet
 
-  /** Record completion rows (append; read-time dedup keeps idempotency). */
+  /** Record completion rows (atomic append commit; read-time dedup on
+    * completedBuckets keeps idempotency under re-recording).
+    */
   def record(stage: String, configTag: String,
              bucketRows: Seq[(Int, Long)], wallMs: Long): Unit = {
     val ts = System.currentTimeMillis()
+    val dir = log.newDataDir()
     spark.createDataset(bucketRows.map { case (b, n) =>
       (stage, b, configTag, n, wallMs, ts)
     }).toDF("stage", "bucket", "config_tag", "rows", "wall_ms", "ts")
       .coalesce(1)
-      .write.mode(SaveMode.Append).parquet(tableDir)
+      .write.mode(SaveMode.Overwrite).parquet(dir.getPath)
+    log.commitAppend(Seq(graft.store.TxEntry(log.relativize(dir), -1L))): Unit
   }
 
   /** Stage-level metrics view (lineage: per-bucket rows + timings). */

@@ -9,79 +9,94 @@ import org.apache.spark.sql.functions._
   * generalized to one writer parameterized by key columns, exactly as
   * SURVEY.md S10 prescribes.
   *
-  * Storage is parquet-append plus read-time last-writer-wins dedup (a
-  * `row_number() over (partition by key order by batch desc)` view) —
-  * the same MERGE contract Iceberg provides natively; swap `read` for a
-  * real `MERGE INTO` when an Iceberg catalog is present. Writes are
-  * idempotent per batch id: re-writing the same batch replaces itself.
+  * Storage is a [[TxLog]] table (atomic commit log, immutable data
+  * files): each upsert batch lands as one committed data directory
+  * carrying a `_batch` column, and `read()` resolves MERGE semantics
+  * (matched → last writer wins by batch id, unmatched → insert) with a
+  * key-partitioned window. The transactional properties — atomic
+  * commits, optimistic concurrency for concurrent writers, crash-safe
+  * compaction, snapshot-isolation reads — come from the log protocol,
+  * not from directory-rename discipline.
   */
 final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
 
-  private val dir = s"$path/table"
+  private val log = new TxLog(s"$path/table")
+
+  /** Expose the underlying log for tests / maintenance (vacuum). */
+  def txLog: TxLog = log
 
   /** Upsert a batch: matched keys take the new values, unmatched insert.
     * batchId must increase monotonically across logical writes (the
     * reference uses txn chunks; streaming callers pass the micro-batch
-    * id, `ray_extract_features.py:165-206` semantics). Overwrite of the
-    * per-batch directory makes a RETRIED batch replace itself — append
-    * would leave two sets of rows with the same _batch id and an
-    * undefined last-writer-wins tiebreak in read().
+    * id, `ray_extract_features.py:165-206` semantics). A RETRIED batch
+    * replaces itself: the commit drops any live entry with the same
+    * batch id, so re-delivery cannot leave two row sets with an
+    * undefined last-writer-wins tiebreak. Concurrent upserts with
+    * distinct batch ids both land (optimistic append commit).
     */
-  def upsert(batch: DataFrame, batchId: Long): Unit =
+  def upsert(batch: DataFrame, batchId: Long): Unit = {
+    val dir = log.newDataDir()
     batch
       .withColumn("_batch", lit(batchId))
       .write.mode(SaveMode.Overwrite)
-      .parquet(s"$dir/_batch=$batchId")
+      .parquet(dir.getPath)
+    log.commitAppend(Seq(TxEntry(log.relativize(dir), batchId)),
+      replaceBatch = Some(batchId), op = "upsert"): Unit
+  }
 
-  /** Current state: last writer per key wins (highest batch id). */
+  /** Current state: last writer per key wins (highest batch id). Reads
+    * one immutable snapshot — concurrent upserts/compactions never
+    * disturb an in-flight read.
+    */
   def read(): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val raw = spark.read
-      .option("basePath", dir)
-      .parquet(dir)
+    val snap = log.snapshot()
+    require(snap.entries.nonEmpty, s"empty store at $path")
+    val raw = log.readSnapshot(spark, snap)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_batch").desc)
     raw.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
       .drop("_rn", "_batch")
   }
 
-  def exists(): Boolean = new java.io.File(dir).exists()
+  def exists(): Boolean = log.snapshot().entries.nonEmpty
 
   /** Compact the batch history to current state: materializes read()
-    * (last-writer-wins) as a single batch directory and drops the
-    * superseded `_batch=` dirs, so read() stops paying a window over the
-    * full history (with an Iceberg catalog this is
-    * `rewrite_data_files` / snapshot expiry). read() results are
-    * identical before and after; upserts with higher batch ids continue
-    * to work on the compacted store.
+    * (last-writer-wins) into ONE data directory and commits a replace
+    * manifest (Iceberg `rewrite_data_files` semantics), so read() stops
+    * paying a window over the full history. Crash-safe by construction:
+    * the compacted directory is committed atomically or not at all —
+    * there is no moment where the table is empty or half-swapped, and a
+    * reader holding the pre-compact snapshot keeps its files until
+    * `vacuum`. A concurrent upsert that wins the CAS race aborts this
+    * compaction (retried up to `maxRetries`, then skipped — compaction
+    * is an optimization, never worth clobbering a live write).
     */
-  def compact(): Unit = {
-    val raw = spark.read.option("basePath", dir).parquet(dir)
-    val maxBatch = raw.agg(max(col("_batch"))).head().get(0).toString.toLong
-    val tmp = s"$path/_compact_tmp"
-    // materialize BEFORE touching the live store
-    read().withColumn("_batch", lit(maxBatch))
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    // stash-then-swap (same discipline as IncrementalIngest
-    // .compactStores): the live _batch= dirs are moved aside, the
-    // compacted data renamed in, THEN the stash is deleted — a crash
-    // at any point leaves either the old store or the new one
-    // readable, never an empty dir
-    val d = new java.io.File(dir)
-    val stash = new java.io.File(s"$path/_compact_stash")
-    stash.mkdirs()
-    val moved = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("_batch="))
-    moved.foreach { f =>
-      require(f.renameTo(new java.io.File(stash, f.getName)),
-        s"compact: stash of ${f.getName} failed")
+  def compact(maxRetries: Int = 3, vacuumGraceMs: Long = 600000L): Unit = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val snap = log.snapshot()
+      if (snap.entries.size <= 1) return // nothing to collapse
+      val maxBatch = snap.entries.map(_.batch).max
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_batch").desc)
+      val dir = log.newDataDir()
+      log.readSnapshot(spark, snap)
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .drop("_rn")
+        .withColumn("_batch", lit(maxBatch))
+        .write.mode(SaveMode.Overwrite).parquet(dir.getPath)
+      if (log.commitReplace(Seq(TxEntry(log.relativize(dir), maxBatch)),
+          snap.version)) {
+        log.vacuum(keepVersions = 1, orphanGraceMs = vacuumGraceMs)
+        return
+      }
+      // a concurrent commit won the version — drop the staged rewrite
+      // and recompute against the new snapshot
+      deleteRecursively(dir)
+      attempt += 1
     }
-    if (!new java.io.File(tmp).renameTo(new java.io.File(s"$dir/_batch=$maxBatch"))) {
-      // roll back so the store stays readable, then fail loudly
-      moved.foreach(f => new java.io.File(stash, f.getName).renameTo(f))
-      sys.error(s"compact: rename of $tmp failed (rolled back)")
-    }
-    deleteRecursively(stash)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -1,38 +1,80 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import java.io.File
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.util.sketch.BloomFilter
+
 import graft.pipeline.{Dedup, DedupConfig}
+import graft.store.{SeenFilter, TxEntry, TxLog}
 
 /** Incremental ingestion — the chenhai1030 fork's Ray micro-batch loop
   * (`ray_extract_features.py:85-162`: 600 s ingest windows, periodic
   * signature flush, periodic new-vs-all match regeneration) re-expressed
-  * as Structured Streaming:
+  * as Structured Streaming over [[TxLog]] tables:
   *
   *   pages stream -> stateless shingle+sign -> foreachBatch:
-  *     (1) idempotent signature upsert (skip-if-done on id+config_tag —
-  *         the reference `exists()` semantics, `extract_features.py:61`)
-  *     (2) incremental matching: NEW batch bands joined against the FULL
-  *         accumulated band table (new x all, never all x all —
-  *         `ray_extract_features.py:241-367` semantics at per-batch
-  *         cadence)
+  *     (1) idempotent signature flush with a bloom-prefiltered
+  *         skip-if-done ([[SeenFilter]] — reference `exists()`,
+  *         `winnow/storage/db_result_storage.py:46-58`): the store
+  *         sketch is built once per rebuild cadence; bloom-miss rows
+  *         (almost all of a mostly-new corpus) skip the store join
+  *         entirely, and exactness is restored by anti-joining only
+  *         the residue plus the store's post-sketch DELTA (tracked
+  *         precisely via the commit log's immutable entry paths)
+  *     (2) band-table append for never-banded ids
+  *     (3) incremental matching every `matchEvery` batches (the fork
+  *         runs ingest/flush/match at 600/1200/3600 s — decoupled
+  *         cadences, `ray_extract_features.py:100-112`): NEW ids since
+  *         the last match run × the FULL persisted band store, never
+  *         all × all
+  *     (4) store compaction every `compactEvery` batches (small-files
+  *         control, crash-safe replace commits)
+  *
+  * Store reads go through the commit log: a transient read failure
+  * PROPAGATES and fails the batch (never classified as "store empty" —
+  * that would re-append every row as new), and a retried micro-batch
+  * replaces its own signature commit instead of duplicating it.
   *
   * No watermark is needed: the pipeline is insensitive to late rows
-  * because the upsert is idempotent (SURVEY.md §2.9).
+  * because the flush is idempotent (SURVEY.md §2.9).
   */
 object IncrementalIngest {
+
+  def sigLog(workDir: String, cfg: DedupConfig): TxLog =
+    new TxLog(s"$workDir/signatures_stream/tag=${cfg.configTag}")
+  def bandLog(workDir: String, cfg: DedupConfig): TxLog =
+    new TxLog(bandsDir(workDir, cfg))
+  def pairLog(workDir: String, cfg: DedupConfig): TxLog =
+    new TxLog(s"$workDir/pairs_stream/tag=${cfg.configTag}")
 
   /** Start the streaming signature+match job.
     *
     * @param pagesStream streaming DataFrame with (url, text) at least
-    * @param workDir     output root: signatures/ pairs/ under it
+    * @param workDir     output root: signatures/bands/pairs tables under it
+    * @param matchEvery  run match regeneration every Nth batch (1 = every
+    *                    batch; unmatched tail after drain → [[matchPending]])
+    * @param compactEvery compact the stores every Nth batch (0 = never;
+    *                    matching is forced first so the path-diff match
+    *                    state survives the rewrite)
+    * @param bloomRebuildEvery rebuild the seen-filter sketch after this
+    *                    many store commits accumulate beyond it (the
+    *                    delta anti-join stays exact regardless — this
+    *                    only bounds the residue volume)
     */
   def start(pagesStream: DataFrame, cfg: DedupConfig, workDir: String,
-            checkpointDir: String): StreamingQuery = {
-    val sigDir = s"$workDir/signatures_stream/tag=${cfg.configTag}"
-    val pairDir = s"$workDir/pairs_stream/tag=${cfg.configTag}"
-    val bandDir = bandsDir(workDir, cfg)
+            checkpointDir: String, matchEvery: Int = 1, compactEvery: Int = 0,
+            bloomRebuildEvery: Int = 8): StreamingQuery = {
+    require(matchEvery >= 1, "matchEvery must be >= 1")
+    // seen-filter state, kept across batches of this query: the sketch
+    // covers exactly the store entries in `bloomPaths`; anything
+    // committed since is the delta and is anti-joined directly
+    var bloom: BloomFilter = null
+    var bloomPaths: Set[String] = Set.empty
 
     pagesStream
       .select(col("url").as("id"), col("text"))
@@ -40,51 +82,147 @@ object IncrementalIngest {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        def readOpt(p: String): Option[DataFrame] =
-          try Some(spark.read.parquet(p)) catch { case _: Throwable => None }
+        val sl = sigLog(workDir, cfg)
+        val bl = bandLog(workDir, cfg)
         val newSigs = Dedup.signatures(Dedup.shingleSets(batch, cfg), cfg)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          // (1) idempotent signature flush: left-anti join vs existing ids
-          val pending = readOpt(sigDir) match {
-            case Some(e) => newSigs.join(e.select("id"), Seq("id"), "left_anti")
-            case None    => newSigs
-          }
-          pending.write.mode(SaveMode.Append).parquet(sigDir)
+          // (1) seen-filtered idempotent signature flush
+          val snap = sl.snapshot()
+          val pending =
+            if (snap.entries.isEmpty) newSigs
+            else {
+              val store = sl.readSnapshot(spark, snap)
+              val delta = snap.entries.filterNot(e => bloomPaths.contains(e.path))
+              if (bloom == null || delta.size >= bloomRebuildEvery) {
+                val keyEstimate = math.max(1024L,
+                  store.select("id").count())
+                bloom = SeenFilter.build(store, col("id"), keyEstimate)
+                bloomPaths = snap.entries.map(_.path).toSet
+                // sketch now covers the whole snapshot: no delta left
+                SeenFilter.notSeen(newSigs, col("id"), bloom, store, col("id"))
+              } else {
+                // bloom-miss rows skip the store join; the residue
+                // anti-joins the full store, and rows added since the
+                // sketch (the delta commits) are anti-joined exactly
+                val unseenVsSketch =
+                  SeenFilter.notSeen(newSigs, col("id"), bloom, store, col("id"))
+                if (delta.isEmpty) unseenVsSketch
+                else unseenVsSketch.join(
+                  sl.readEntries(spark, delta).select("id"), Seq("id"), "left_anti")
+              }
+            }
+          writeCommit(sl, pending, batchId)
 
           // (2) incremental BAND store: append band keys for ids the
           // store has never banded (anti-join vs the band store itself,
-          // so a crash between the sig and band writes self-heals on
-          // retry). The all-side of every later batch is READ from here
-          // — never recomputed from the full signature store.
-          val bandPending = readOpt(bandDir) match {
+          // so a crash between the sig and band commits self-heals on
+          // retry). The all-side of every later match run is READ from
+          // here — never recomputed from the full signature store.
+          val bandPending = bl.read(spark) match {
             case Some(bs) => Dedup.validSignatures(newSigs)
-              .join(bs.select("id").distinct(), Seq("id"), "left_anti")
+              .join(bs.select("id"), Seq("id"), "left_anti")
             case None => Dedup.validSignatures(newSigs)
           }
-          Dedup.bandTable(bandPending, cfg)
-            .select(col("id"), col("band_key"))
-            .write.mode(SaveMode.Append).parquet(bandDir)
+          writeCommit(bl,
+            Dedup.bandTable(bandPending, cfg).select(col("id"), col("band_key")),
+            batchId)
 
-          // (3) incremental matching: this batch's ids vs the persisted
-          // band store (new x all, never all x all; all-side bands from
-          // storage)
-          val allSigs = spark.read.parquet(sigDir)
-          val bandStore = spark.read.parquet(bandDir)
-          val newPairs = Dedup.incrementalPairsBanded(
-            newSigs.select("id"), bandStore, allSigs, cfg)
-          // dedup vs pairs already recorded (MERGE "when not matched")
-          val fresh = readOpt(pairDir) match {
-            case Some(p) =>
-              newPairs.join(p.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
-            case None => newPairs
+          // (3) match cadence (fork: 3600 s regeneration vs 600 s ingest)
+          if ((batchId + 1) % matchEvery == 0)
+            matchPending(spark, workDir, cfg)
+
+          // (4) compaction cadence: match first so the path-based match
+          // state can be fast-forwarded across the rewrite
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            matchPending(spark, workDir, cfg)
+            compactStores(spark, workDir, cfg)
+            writeMatchedPaths(workDir, cfg,
+              sigLog(workDir, cfg).snapshot().entries.map(_.path).toSet)
+            bloom = null // compaction rewrote the paths → rebuild next batch
+            bloomPaths = Set.empty
           }
-          fresh.write.mode(SaveMode.Append).parquet(pairDir)
         } finally newSigs.unpersist()
       }
       .start()
+  }
+
+  /** Match every signature-store id not yet covered by a match run
+    * against the full persisted band store (new × all), append the
+    * fresh pairs (deduped vs the pair store — MERGE "when not
+    * matched"), and advance the match state. Idempotent and safe to
+    * call any time (e.g. after drain when `matchEvery` left a tail);
+    * crash before the state write merely re-matches, and the pair-store
+    * anti-join keeps that exact.
+    */
+  def matchPending(spark: SparkSession, workDir: String, cfg: DedupConfig): Unit = {
+    val sl = sigLog(workDir, cfg)
+    val pl = pairLog(workDir, cfg)
+    val snap = sl.snapshot()
+    if (snap.entries.isEmpty) return
+    val matched = readMatchedPaths(workDir, cfg)
+    val newEntries = snap.entries.filterNot(e => matched.contains(e.path))
+    if (newEntries.isEmpty) return
+    val newIds = sl.readEntries(spark, newEntries).select("id")
+    val allSigs = sl.readSnapshot(spark, snap)
+    val bandStore = bandLog(workDir, cfg).read(spark)
+      .getOrElse(sys.error(s"band store missing under $workDir"))
+    val newPairs = Dedup.incrementalPairsBanded(newIds, bandStore, allSigs, cfg)
+    val fresh = pl.read(spark) match {
+      case Some(p) =>
+        newPairs.join(p.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+      case None => newPairs
+    }
+    writeCommit(pl, fresh, -1L, replace = false)
+    writeMatchedPaths(workDir, cfg, snap.entries.map(_.path).toSet)
+  }
+
+  /** Write a DataFrame as one committed data directory. `replace = true`
+    * makes a retried micro-batch replace its own earlier commit.
+    */
+  private def writeCommit(log: TxLog, df: DataFrame, batchId: Long,
+                          replace: Boolean = true): Unit = {
+    val dir = log.newDataDir()
+    df.write.mode(SaveMode.Overwrite).parquet(dir.getPath)
+    log.commitAppend(Seq(TxEntry(log.relativize(dir), batchId)),
+      replaceBatch = if (replace) Some(batchId) else None): Unit
+  }
+
+  // --- match-state marker (which store paths a match run has covered) ---
+
+  private def matchStateFile(workDir: String, cfg: DedupConfig): File =
+    new File(s"$workDir/match_state", s"tag=${cfg.configTag}.json")
+
+  private def readMatchedPaths(workDir: String, cfg: DedupConfig): Set[String] = {
+    val f = matchStateFile(workDir, cfg)
+    if (!f.exists()) Set.empty
+    else {
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(
+        new String(Files.readAllBytes(f.toPath), UTF_8)) match {
+        case JArray(items) => items.collect { case JString(s) => s }.toSet
+        case other => sys.error(s"bad match state: $other")
+      }
+    }
+  }
+
+  /** Atomic single-writer marker update (tmp + move). Losing it (crash
+    * between pair commit and this write) only causes a re-match, which
+    * the pair-store anti-join makes exact.
+    */
+  private def writeMatchedPaths(workDir: String, cfg: DedupConfig,
+                                paths: Set[String]): Unit = {
+    val f = matchStateFile(workDir, cfg)
+    f.getParentFile.mkdirs()
+    val tmp = new File(f.getParentFile, s".tmp-${java.util.UUID.randomUUID()}")
+    val json = paths.toSeq.sorted
+      .map(p => "\"" + p.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+    Files.write(tmp.toPath, json.getBytes(UTF_8))
+    Files.move(tmp.toPath, f.toPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
   /** The persisted incremental LSH band table (id, band_key). */
@@ -92,50 +230,54 @@ object IncrementalIngest {
     s"$workDir/bands_stream/tag=${cfg.configTag}"
 
   /** Compact the append-per-batch stores (signatures, bands, pairs):
-    * each directory accumulates one file set per micro-batch, which at
-    * streaming cadence becomes the classic small-files problem — scans
-    * pay per-file open cost and the band join loses split sizing. The
-    * content is already deduplicated at write time (left-anti joins), so
-    * compaction is a pure rewrite: read, coalesce toward
-    * spark.sql.shuffle.partitions, write to a temp dir, swap. Call
-    * between batches (the stores are not transactional under concurrent
-    * writers — an Iceberg rewrite_data_files in production).
+    * each accumulates one commit per micro-batch, which at streaming
+    * cadence becomes the classic small-files problem. Content is
+    * already deduplicated at write time (seen filter / anti-joins), so
+    * compaction is a pure rewrite: read the snapshot, coalesce toward
+    * spark.sql.shuffle.partitions, commit a REPLACE manifest (atomic —
+    * a crash at any point leaves either the old or the new snapshot
+    * fully readable), then vacuum superseded files. A concurrent
+    * append that wins the commit race aborts the rewrite for that
+    * store (compaction is an optimization; inside `start()` it runs
+    * serially with the writes, so the race only matters for manual
+    * out-of-band calls).
     */
-  def compactStores(spark: org.apache.spark.sql.SparkSession,
-                    workDir: String, cfg: DedupConfig): Unit = {
+  def compactStores(spark: SparkSession, workDir: String, cfg: DedupConfig,
+                    vacuumGraceMs: Long = 0L): Unit = {
     val targetParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    Seq(s"$workDir/signatures_stream/tag=${cfg.configTag}",
-      bandsDir(workDir, cfg),
-      s"$workDir/pairs_stream/tag=${cfg.configTag}").foreach { dir =>
-      if (new java.io.File(dir).exists()) {
-        val tmp = s"$dir.compact_tmp"
-        spark.read.parquet(dir).coalesce(targetParts)
-          .write.mode(SaveMode.Overwrite).parquet(tmp)
-        val old = new java.io.File(dir)
-        val stash = new java.io.File(s"$dir.old")
-        require(old.renameTo(stash), s"compact: stash of $dir failed")
-        require(new java.io.File(tmp).renameTo(old), s"compact: swap of $dir failed")
-        deleteRecursively(stash)
+    Seq(sigLog(workDir, cfg), bandLog(workDir, cfg), pairLog(workDir, cfg))
+      .foreach { log =>
+        val snap = log.snapshot()
+        if (snap.entries.size > 1) {
+          val maxBatch = snap.entries.map(_.batch).max
+          val dir = log.newDataDir()
+          log.readSnapshot(spark, snap).coalesce(targetParts)
+            .write.mode(SaveMode.Overwrite).parquet(dir.getPath)
+          if (log.commitReplace(Seq(TxEntry(log.relativize(dir), maxBatch)),
+              snap.version))
+            log.vacuum(keepVersions = 1, orphanGraceMs = vacuumGraceMs)
+          else
+            deleteRecursively(dir)
+        }
       }
-    }
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private def deleteRecursively(f: File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
   }
 
-  def bands(spark: org.apache.spark.sql.SparkSession, workDir: String,
-            cfg: DedupConfig): DataFrame =
-    spark.read.parquet(bandsDir(workDir, cfg))
+  def bands(spark: SparkSession, workDir: String, cfg: DedupConfig): DataFrame =
+    bandLog(workDir, cfg).read(spark)
+      .getOrElse(sys.error(s"band store missing under $workDir"))
 
-  def signatures(spark: org.apache.spark.sql.SparkSession, workDir: String,
-                 cfg: DedupConfig): DataFrame =
-    spark.read.parquet(s"$workDir/signatures_stream/tag=${cfg.configTag}")
+  def signatures(spark: SparkSession, workDir: String, cfg: DedupConfig): DataFrame =
+    sigLog(workDir, cfg).read(spark)
+      .getOrElse(sys.error(s"signature store missing under $workDir"))
 
-  def pairs(spark: org.apache.spark.sql.SparkSession, workDir: String,
-            cfg: DedupConfig): DataFrame =
-    spark.read.parquet(s"$workDir/pairs_stream/tag=${cfg.configTag}")
+  def pairs(spark: SparkSession, workDir: String, cfg: DedupConfig): DataFrame =
+    pairLog(workDir, cfg).read(spark)
+      .getOrElse(sys.error(s"pair store missing under $workDir"))
 
   /** Tumbling-window aggregation over an event-time column — the
     * streaming-semantics analog of the fork's fixed 600 s ingestion

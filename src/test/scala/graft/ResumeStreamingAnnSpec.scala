@@ -120,20 +120,128 @@ class ResumeStreamingAnnSpec extends SparkSpecBase {
       .except(rebanded.select("id", "band_key")).count() == 0)
     assert(bandStore.groupBy("id").count()
       .where(col("count") =!= cfg.bands).count() == 0)
-    // small-files compaction: identical content, fewer files
-    def nFiles(dir: String): Int = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
-    val pairDir = s"$workDir/pairs_stream/tag=${cfg.configTag}"
-    val sigFilesBefore = nFiles(s"$workDir/signatures_stream/tag=${cfg.configTag}")
+    // small-files compaction: identical content, one live commit with
+    // fewer data dirs afterwards (replace commit + vacuum)
+    val sigCommitsBefore =
+      IncrementalIngest.sigLog(workDir, cfg).snapshot().entries.size
+    assert(sigCommitsBefore >= 2, "expected one commit per micro-batch")
     val bandRowsBefore = bandStore.count() // materialize before the swap
     IncrementalIngest.compactStores(spark, workDir, cfg)
-    assert(nFiles(s"$workDir/signatures_stream/tag=${cfg.configTag}") <= sigFilesBefore)
-    assert(nFiles(pairDir) > 0)
+    assert(IncrementalIngest.sigLog(workDir, cfg).snapshot().entries.size == 1)
+    assert(IncrementalIngest.pairLog(workDir, cfg).snapshot().entries.size == 1)
+    def nDataDirs(log: graft.store.TxLog): Int =
+      Option(new java.io.File(log.root, "data").listFiles())
+        .getOrElse(Array.empty).length
+    assert(nDataDirs(IncrementalIngest.sigLog(workDir, cfg)) == 1,
+      "vacuum must reclaim superseded signature commits")
     val streamedAfter = IncrementalIngest.pairs(spark, workDir, cfg)
       .select("id_a", "id_b").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(streamedAfter == batch)
     assert(IncrementalIngest.bands(spark, workDir, cfg).count() == bandRowsBefore)
+  }
+
+  test("decoupled cadences: matchEvery=3 + compactEvery=2 converge to the batch pair set") {
+    val spark2 = spark
+    import spark2.implicits._
+    val (pages, _) = SynthCorpus.generate(spark, seed = 12L, nBase = 120, dupRate = 0.3)
+    val rows = pages.select("url", "text").as[(String, String)].collect().toSeq
+    val workDir = tmpDir("graft-cadence")
+    val ckDir = tmpDir("graft-cadence-ck")
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val batches = rows.grouped(math.max(1, rows.size / 4 + 1)).toSeq
+    batches.foreach { b =>
+      mem.addData(b)
+      val q = IncrementalIngest.start(
+        mem.toDF().toDF("url", "text"), cfg, workDir, ckDir,
+        matchEvery = 3, compactEvery = 2)
+      q.awaitTermination()
+    }
+    // the tail of batches since the last cadence hit is matched on demand
+    IncrementalIngest.matchPending(spark, workDir, cfg)
+
+    val streamed = IncrementalIngest.pairs(spark, workDir, cfg)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val batch = Dedup.pairs(Dedup.fromPages(pages), cfg)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamed == batch, "mixed-cadence pairs diverge from batch pipeline")
+    // compaction ran inside start(): the signature store cannot have one
+    // commit per batch left (4 batches, compacted at batch 2 and 4)
+    assert(IncrementalIngest.sigLog(workDir, cfg).snapshot().entries.size < batches.size,
+      "scheduled in-stream compaction never ran")
+    // and signatures are still exactly one per doc
+    val sigs = IncrementalIngest.signatures(spark, workDir, cfg)
+    assert(sigs.select("id").distinct().count() == sigs.count())
+  }
+
+  test("seen filter: re-delivered rows are skipped; bloom-miss rows bypass the store join") {
+    val spark2 = spark
+    import spark2.implicits._
+    val (pages, _) = SynthCorpus.generate(spark, seed = 13L, nBase = 60, dupRate = 0.2)
+    val rows = pages.select("url", "text").as[(String, String)].collect().toSeq
+    val workDir = tmpDir("graft-seen")
+    val ckDir = tmpDir("graft-seen-ck")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    mem.addData(rows)
+    IncrementalIngest.start(mem.toDF().toDF("url", "text"), cfg, workDir, ckDir)
+      .awaitTermination()
+    val n1 = IncrementalIngest.signatures(spark, workDir, cfg).count()
+    // re-deliver every row as a new micro-batch: all seen -> nothing new
+    mem.addData(rows)
+    IncrementalIngest.start(mem.toDF().toDF("url", "text"), cfg, workDir, ckDir)
+      .awaitTermination()
+    val sigs = IncrementalIngest.signatures(spark, workDir, cfg)
+    assert(sigs.count() == n1, "re-delivered rows were appended again")
+    assert(sigs.select("id").distinct().count() == n1)
+
+    // residue evidence: for a disjoint fresh batch, almost every row is
+    // a bloom MISS — only the (tiny) false-positive residue can reach
+    // the store anti-join (the split itself is exactness-tested in
+    // CurationSpec)
+    val store = IncrementalIngest.signatures(spark, workDir, cfg)
+    val bloom = graft.store.SeenFilter.build(store, col("id"), math.max(1024L, n1))
+    val freshKeys = (0 until 500).map(i => s"https://unseen.example/$i").toDF("id")
+    val bcast = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => bcast.value.mightContainString(s))
+    val residue = freshKeys.where(mightContain(col("id"))).count()
+    assert(residue <= 25, s"bloom residue too large to claim join bypass: $residue/500")
+  }
+
+  test("corrupt signature store FAILS the batch loudly (no duplicate re-append)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val (pages, _) = SynthCorpus.generate(spark, seed = 14L, nBase = 40, dupRate = 0.2)
+    val rows = pages.select("url", "text").as[(String, String)].collect().toSeq
+    val workDir = tmpDir("graft-corrupt")
+    val ckDir = tmpDir("graft-corrupt-ck")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    mem.addData(b1)
+    IncrementalIngest.start(mem.toDF().toDF("url", "text"), cfg, workDir, ckDir)
+      .awaitTermination()
+    val sl = IncrementalIngest.sigLog(workDir, cfg)
+    val commitsBefore = sl.snapshot().entries.size
+    // torn disk: truncate every parquet part of the live signature commit
+    val live = new java.io.File(sl.root, sl.snapshot().entries.head.path)
+    live.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(p => java.nio.file.Files.write(p.toPath, Array[Byte](7)))
+    mem.addData(b2)
+    val q = IncrementalIngest.start(
+      mem.toDF().toDF("url", "text"), cfg, workDir, ckDir)
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(failed != null)
+    // the batch failed BEFORE committing: a transient read error must
+    // never classify the store as empty and append every row as new
+    assert(sl.snapshot().entries.size == commitsBefore,
+      "corrupt store read appended a duplicate signature commit")
   }
 
   test("ANN: SRP-LSH recall vs brute force on labeled embeddings") {

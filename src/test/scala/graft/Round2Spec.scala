@@ -134,10 +134,14 @@ class Round2Spec extends SparkSpecBase {
     w.upsert(Seq(("u1", 11)).toDF("url", "v"), batchId = 3)
     val before = w.read().collect().map(r => (r.getString(0), r.getInt(1))).toSet
     assert(before == Set(("u1", 11), ("u2", 21), ("u3", 30)))
-    w.compact()
-    val dirs = new java.io.File(s"$dir/table").listFiles()
-      .filter(_.getName.startsWith("_batch=")).map(_.getName).toSeq
-    assert(dirs == Seq("_batch=3"), s"history not collapsed: $dirs")
+    w.compact(vacuumGraceMs = 0L)
+    val snap = w.txLog.snapshot()
+    assert(snap.entries.size == 1 && snap.entries.head.batch == 3L,
+      s"history not collapsed: ${snap.entries}")
+    // vacuum reclaimed the superseded data dirs: only the compacted one
+    val dataDirs = Option(new java.io.File(s"$dir/table/data").listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSeq
+    assert(dataDirs.size == 1, s"superseded data dirs not vacuumed: $dataDirs")
     assert(w.read().collect().map(r => (r.getString(0), r.getInt(1))).toSet == before)
     // post-compaction upsert still wins over compacted state
     w.upsert(Seq(("u3", 31)).toDF("url", "v"), batchId = 4)

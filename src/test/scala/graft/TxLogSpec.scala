@@ -1,0 +1,180 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.store.{MergeWriter, TxEntry, TxLog}
+
+/** Transaction-log table format: atomicity, optimistic concurrency
+  * (concurrent writers never lose updates), crash-safety (orphans and
+  * torn commits never corrupt reads), replace-commit conflict handling,
+  * and the loud-failure contract for corrupt stores (round-2 verdict
+  * items #1 and #2).
+  */
+class TxLogSpec extends SparkSpecBase {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("append commits merge and version monotonically; read is last-writer-wins") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp("txlog-basic")
+    val w = new MergeWriter(spark, dir, Seq("k"))
+    assert(!w.exists())
+    w.upsert(Seq(("a", 1), ("b", 2)).toDF("k", "v"), batchId = 1)
+    w.upsert(Seq(("b", 3)).toDF("k", "v"), batchId = 2)
+    assert(w.txLog.currentVersion() == 1L) // versions 0 and 1
+    assert(w.read().collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+      Set(("a", 1), ("b", 3)))
+  }
+
+  test("concurrent upserts from multiple threads: no lost updates, every version distinct") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp("txlog-conc")
+    val w = new MergeWriter(spark, dir, Seq("k"))
+    val nThreads = 4
+    val perThread = 5
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        try {
+          (0 until perThread).foreach { i =>
+            val batch = t * perThread + i + 1
+            w.upsert(Seq((s"k$t-$i", batch)).toDF("k", "v"), batchId = batch.toLong)
+          }
+        } catch { case e: Throwable => errors.add(e); () }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errors.isEmpty, s"writer errors: ${errors.toArray.mkString(", ")}")
+    // every commit landed: one entry per batch, one row per key
+    val snap = w.txLog.snapshot()
+    assert(snap.entries.size == nThreads * perThread,
+      s"lost commits: ${snap.entries.size} of ${nThreads * perThread}")
+    assert(snap.version == nThreads * perThread - 1L)
+    assert(w.read().count() == nThreads * perThread)
+  }
+
+  test("compaction races a concurrent writer safely (replace commit aborts on conflict)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp("txlog-race")
+    val w = new MergeWriter(spark, dir, Seq("k"))
+    (1 to 4).foreach(b => w.upsert(Seq((s"k$b", b)).toDF("k", "v"), b.toLong))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writer = new Thread(() => {
+      try (5 to 10).foreach { b =>
+        w.upsert(Seq((s"k$b", b)).toDF("k", "v"), b.toLong)
+      } catch { case e: Throwable => errors.add(e); () }
+    })
+    val compactor = new Thread(() => {
+      try (0 until 3).foreach { _ => w.compact(vacuumGraceMs = 60000L) }
+      catch { case e: Throwable => errors.add(e); () }
+    })
+    writer.start(); compactor.start()
+    writer.join(); compactor.join()
+    assert(errors.isEmpty, s"errors: ${errors.toArray.mkString(", ")}")
+    // no write was lost regardless of which compactions won their CAS
+    assert(w.read().collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+      (1 to 10).map(b => (s"k$b", b)).toSet)
+  }
+
+  test("crash artifacts are invisible: orphan data dir + torn manifest tmp never corrupt reads") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp("txlog-crash")
+    val w = new MergeWriter(spark, dir, Seq("k"))
+    w.upsert(Seq(("a", 1)).toDF("k", "v"), batchId = 1)
+    val before = w.read().collect().map(r => (r.getString(0), r.getInt(1))).toSet
+
+    // crash between data write and commit: orphan data directory
+    val orphan = w.txLog.newDataDir()
+    Seq(("ghost", 99)).toDF("k", "v").withColumn("_batch", lit(99L))
+      .write.parquet(orphan.getPath)
+    // crash mid-manifest-write: torn temp file in the log dir
+    val torn = new File(s"$dir/table/_log/.tmp-torn")
+    Files.write(torn.toPath, """{"version":7,"op":"appe""".getBytes("UTF-8"))
+
+    assert(w.read().collect().map(r => (r.getString(0), r.getInt(1))).toSet == before,
+      "uncommitted data must be invisible")
+    // vacuum with zero grace reclaims both artifacts
+    w.txLog.vacuum(keepVersions = 1, orphanGraceMs = 0L)
+    assert(!orphan.exists(), "orphan data dir survives vacuum")
+    assert(!torn.exists(), "torn manifest tmp survives vacuum")
+    assert(w.read().collect().map(r => (r.getString(0), r.getInt(1))).toSet == before)
+  }
+
+  test("replace commit with a stale expected version fails and changes nothing") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp("txlog-stale")
+    val w = new MergeWriter(spark, dir, Seq("k"))
+    w.upsert(Seq(("a", 1)).toDF("k", "v"), batchId = 1)
+    val staleVersion = w.txLog.currentVersion()
+    w.upsert(Seq(("b", 2)).toDF("k", "v"), batchId = 2)
+    val d = w.txLog.newDataDir()
+    Seq(("x", 0)).toDF("k", "v").withColumn("_batch", lit(9L)).write.parquet(d.getPath)
+    assert(!w.txLog.commitReplace(
+      Seq(TxEntry(w.txLog.relativize(d), 9L)), staleVersion),
+      "stale replace must lose the CAS")
+    assert(w.read().collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+      Set(("a", 1), ("b", 2)))
+  }
+
+  test("vacuum retention: keepVersions=2 preserves the previous snapshot's files") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp("txlog-retain")
+    val w = new MergeWriter(spark, dir, Seq("k"))
+    w.upsert(Seq(("a", 1)).toDF("k", "v"), batchId = 1)
+    val oldSnap = w.txLog.snapshot()
+    w.upsert(Seq(("b", 2)).toDF("k", "v"), batchId = 2)
+    w.txLog.vacuum(keepVersions = 2, orphanGraceMs = 0L)
+    // the previous version's manifest AND data remain readable (snapshot
+    // isolation for a long-running reader)
+    val oldDf = w.txLog.readSnapshot(spark, w.txLog.snapshotAt(oldSnap.version))
+    assert(oldDf.select("k").as[String].collect().toSet == Set("a"))
+    // but keepVersions=1 expires it
+    w.txLog.vacuum(keepVersions = 1, orphanGraceMs = 0L)
+    assert(!new File(s"$dir/table/_log/v${"%012d".format(oldSnap.version)}.json").exists())
+  }
+
+  test("corrupt data file FAILS the read loudly (never classified as empty store)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp("txlog-corrupt")
+    val w = new MergeWriter(spark, dir, Seq("k"))
+    w.upsert(Seq(("a", 1), ("b", 2)).toDF("k", "v"), batchId = 1)
+    // truncate every parquet part file in the live data dir (torn disk)
+    val snap = w.txLog.snapshot()
+    val live = new File(s"$dir/table", snap.entries.head.path)
+    val parts = live.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty)
+    parts.foreach(p => Files.write(p.toPath, Array[Byte](1, 2, 3)))
+    val ex = intercept[Exception] { w.read().collect() }
+    assert(ex != null)
+    // and the log-level read() reports Some(corrupt) -> throws, not None
+    intercept[Exception] {
+      w.txLog.read(spark).get.collect()
+    }
+  }
+
+  test("CheckpointStore: corrupt checkpoint table fails loudly instead of reading empty") {
+    val dir = tmp("ckpt-corrupt")
+    val store = new graft.pipeline.CheckpointStore(spark, dir)
+    assert(store.read().count() == 0) // never-written table IS empty
+    store.record("stage", "tag", Seq((0, 10L)), 1L)
+    assert(store.completedBuckets("stage", "tag") == Set(0))
+    // corrupt the single committed data file
+    val log = new TxLog(s"$dir/checkpoints")
+    val live = new File(s"$dir/checkpoints", log.snapshot().entries.head.path)
+    live.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(p => Files.write(p.toPath, Array[Byte](0)))
+    intercept[Exception] { store.read().collect() }
+    intercept[Exception] { store.completedBuckets("stage", "tag") }
+  }
+}
