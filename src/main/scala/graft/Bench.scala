@@ -43,7 +43,7 @@ object Bench {
     // keeps the run alive but is reported in "failed"
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timedMin {
+      val sec = timedMin {
         try { fn(spark, sfDir).count(): Unit }
         catch { case e: Throwable =>
           if (!failed.contains(name)) {
@@ -52,11 +52,15 @@ object Bench {
           }
         }
       }
+      // a failed query's error-path wall time is meaningless — emit a
+      // -1 sentinel so no consumer can read it as a speedup, and keep
+      // it out of the total
+      name -> (if (failed.contains(name)) -1.0 else sec)
     }
     val qs = (results :+ ("pipeline_clusters" -> pipeSec))
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + pipeSec
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum + pipeSec
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","docs_per_sec":$docsPerSec,"n_docs":$nDocs,"reps":$reps,"agg":"min"}""")
     spark.stop()

@@ -16,7 +16,7 @@ import graft.queries.Serving
   * deterministic sort key.
   */
 object SparkEntry {
-  val cfg: DedupConfig = DedupConfig() // shingleK=3, 128 hashes, 64 bands, tau=0.5
+  val cfg: DedupConfig = DedupConfig() // shingleK=3, 128 hashes, 40 bands x 3 rows, tau=0.5
 
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -64,14 +64,22 @@ object SparkEntry {
     * would misrepresent the serving layer. localCheckpoint = the local
     * stand-in for the matches table.
     */
-  // weak keys: a stopped-and-collected session's entries vanish with
-  // it — an identity-hash key could be reassigned to a NEW session and
-  // hand back a DataFrame bound to the dead SparkContext
+  // session-keyed (not identity-hash): a reassigned identity hash could
+  // hand a NEW session a DataFrame bound to a dead SparkContext. Weak
+  // keys alone cannot collect stopped sessions here (the cached
+  // DataFrames reference their session, strongly pinning the key via
+  // the value), so entries are invalidated EXPLICITLY: every lookup
+  // sweeps entries whose SparkContext has stopped
   private val pairsCache =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, DataFrame]]()
   private def pairsFor(s: SparkSession, dir: String): DataFrame = {
     val perSession = pairsCache.synchronized {
+      val it = pairsCache.entrySet().iterator()
+      while (it.hasNext) {
+        val k = it.next().getKey
+        if (k != null && k.sparkContext.isStopped) it.remove()
+      }
       var m = pairsCache.get(s)
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -377,35 +385,44 @@ object SparkEntry {
     // visual near-dup dedup over deterministic synthetic media (planted
     // groups of 5 pixel-perturbed variants per base image): exercises the
     // REAL decode -> frame-feature -> embedding -> cosine-pair path
-    // driver-checkably (fixture oracle — codecs aren't SQL-expressible)
+    // driver-checkably (fixture oracle — codecs aren't SQL-expressible).
+    // Served from the SRP-LSH bucket join (no corpus collect — the
+    // corpus-scale shape); exact==lsh pair parity is tested on this
+    // planted corpus, so the fixture pins both paths
     "q_media_dedup" -> ((s, dir) =>
       graft.multimodal.BinaryPipeline
         .mediaDuplicatePairs(syntheticMedia(s, dir), mediaDedupThreshold)
         .select(col("id_a").cast("long").as("doc_id_a"),
           col("id_b").cast("long").as("doc_id_b"), col("cosine"))),
     // audio near-dup dedup: REAL WAV/PCM decode -> windowed features ->
-    // item embedding -> threshold pairs (fixture oracle, same planted
-    // grouping as q_media_dedup over pure tones)
+    // item embedding -> SRP-LSH threshold pairs (fixture oracle, same
+    // planted grouping as q_media_dedup over pure tones; same
+    // collect-free serving path)
     "q_audio_dedup" -> ((s, dir) => {
       import graft.multimodal.BinaryPipeline
       val emb = BinaryPipeline.itemEmbedding(
           BinaryPipeline.audioFrames(syntheticAudio(s, dir)))
         .select(col("id"),
           expr("transform(embedding, x -> cast(x as float))").as("embedding"))
-      graft.functions.Embeddings.bruteForceThresholdPairs(emb, audioDedupThreshold)
+      graft.functions.Embeddings.srpThresholdPairs(emb, audioDedupThreshold)
         .select(col("id_a").cast("long").as("doc_id_a"),
           col("id_b").cast("long").as("doc_id_b"), col("cosine"))
     }),
     // --- relational anchors (generic operator correctness) --------------
-    // sums emitted as round(.,2) doubles on BOTH sides: engines widen
-    // decimal sums differently (Spark dec(28,2) vs DuckDB HUGEINT-backed
-    // dec(38,2)) and the representation reaches the driver's hash
+    // sums accumulate in DECIMAL (order-independent — a double sum's
+    // last ulp depends on shuffle-merge order, so a group landing on a
+    // half-cent rounding boundary could flip between runs/engines),
+    // then cast to double so both engines hash the same representation
+    // (they widen decimal sums differently: Spark dec(28,2) vs DuckDB
+    // HUGEINT-backed dec(38,2))
     "q1_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"))),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))),
     "q_join_agg" -> ((s, dir) => {
       val o = s.read.parquet(s"$dir/orders.parquet")
       val c = s.read.parquet(s"$dir/customer.parquet")
@@ -751,8 +768,8 @@ object SparkEntry {
         "AND ts < TIMESTAMP '2024-01-17 00:00:00' GROUP BY 1"),
     "q1_agg" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
-        "round(sum(l_quantity), 2) AS sum_qty, " +
-        "round(sum(l_extendedprice), 2) AS sum_price " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
         "FROM lineitem GROUP BY 1, 2"),
     "q_join_agg" ->
       ("SELECT c_mktsegment, count(*) AS n_orders, " +

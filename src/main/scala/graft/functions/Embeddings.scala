@@ -32,13 +32,17 @@ object Embeddings {
     * boundary ties), and a final window assigns exact ranks. No n²-row
     * join output ever materializes and nothing but the k-sliver crosses
     * an exchange. Contract: the corpus must fit in executor memory
-    * (identical to the reference's kd-tree); beyond that use the scale
-    * paths (`srpTopK` / `ivfTopK`).
+    * (identical to the reference's kd-tree); the contract is ENFORCED —
+    * a corpus past `maxCorpus` fails loudly before any collect instead
+    * of silently OOM-ing the driver. Beyond the cap use the scale paths
+    * (`srpTopK` / `ivfTopK`).
     */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     maxCorpus: Int = 2000000): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     val spark = queries.sparkSession
+    requireBounded(corpus, maxCorpus, "bruteForceTopK", "srpTopK / ivfTopK")
     val corpusRows = corpus.select(col("id"), col("embedding")).collect()
     val cIds = corpusRows.map(_.get(0))
     val cVecs = corpusRows.map(_.getSeq[Float](1).toArray)
@@ -103,14 +107,18 @@ object Embeddings {
   /** ALL canonical pairs (id_a < id_b, string order) with cosine >=
     * threshold — COMPLETE at the threshold, unlike a k-NN cut which
     * silently drops qualifying pairs inside duplicate groups larger
-    * than ~k. Same broadcast-corpus shape as [[bruteForceTopK]]; each
+    * than ~k. Same broadcast-corpus shape (and the same ENFORCED
+    * `maxCorpus` contract) as [[bruteForceTopK]]; each
     * task emits only its queries' above-threshold matches, so the
-    * exchange carries the (sparse) result, never the n² scan.
+    * exchange carries the (sparse) result, never the n² scan. The
+    * corpus-scale swap is [[srpThresholdPairs]].
     */
-  def bruteForceThresholdPairs(emb: DataFrame, threshold: Double): DataFrame = {
+  def bruteForceThresholdPairs(emb: DataFrame, threshold: Double,
+                               maxCorpus: Int = 2000000): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     val spark = emb.sparkSession
+    requireBounded(emb, maxCorpus, "bruteForceThresholdPairs", "srpThresholdPairs")
     val e = emb.select(col("id").cast("string"), col("embedding"))
     val corpusRows = e.collect()
     val cIds = corpusRows.map(_.getString(0))
@@ -144,13 +152,18 @@ object Embeddings {
     * unbounded store — [[bruteForceThresholdPairs]] would collect the
     * store). Emits canonical (id_a < id_b, string order) pairs with
     * cosine >= threshold; identical small/large ids are skipped (a row
-    * present on both sides never pairs with itself).
+    * present on both sides never pairs with itself). Only the SMALL
+    * side is collected, and its bound is enforced like the brute-force
+    * baselines'.
     */
   def broadcastThresholdJoin(small: DataFrame, large: DataFrame,
-                             threshold: Double): DataFrame = {
+                             threshold: Double,
+                             maxSmall: Int = 2000000): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     val spark = small.sparkSession
+    requireBounded(small, maxSmall, "broadcastThresholdJoin(small side)",
+      "srpThresholdPairs")
     val smallRows = small.select(col("id").cast("string"), col("embedding")).collect()
     val sIds = smallRows.map(_.getString(0))
     val sVecs = smallRows.map(_.getSeq[Float](1).toArray)
@@ -177,6 +190,20 @@ object Embeddings {
         }
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** Loud contract check for the collect-shaped baselines: counting a
+    * LIMIT maxRows+1 slice stops early, so the probe never scans more
+    * than the cap itself, and a corpus past the cap fails with a
+    * message naming the bucketed swap instead of OOM-ing the driver.
+    */
+  private def requireBounded(df: DataFrame, maxRows: Int, op: String,
+                             swap: String): Unit = {
+    val n = df.select(lit(1).as("one")).limit(maxRows + 1).count()
+    require(n <= maxRows,
+      s"$op is the corpus-in-memory BASELINE (reference kd-tree analog, " +
+        s"corpus collected + broadcast): corpus exceeds maxCorpus=$maxRows. " +
+        s"Use the bucketed scale path ($swap) or raise the cap explicitly.")
   }
 
   /** Euclidean norm of a float vector (double accumulation). */
@@ -323,10 +350,18 @@ object Embeddings {
     * cell-boundary neighbors), exact cosine + top-k within the probed
     * cells. The cell join is the same keyed-bucket shape as the LSH
     * paths; candidate volume scales with n²/nCells instead of n².
+    *
+    * `nCells <= 0` (the default) sizes cells from the corpus: SCALE.md
+    * §5's rule nCells ≈ √n balances probe cost against cell width — a
+    * fixed cell count means join-key cardinality (= parallelism AND
+    * per-cell candidate volume) stops scaling with the corpus. Bounded
+    * by sampleCap/8 so driver Lloyd still sees ≥8 training points per
+    * cell, floored at 4 so tiny corpora keep a real bucket join.
     */
-  def ivfTopK(emb: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 2,
+  def ivfTopK(emb: DataFrame, k: Int, nCells: Int = 0, nProbe: Int = 2,
               iters: Int = 5, sampleCap: Int = 10000): DataFrame = {
-    val cents = trainIvfCentroids(emb, nCells, iters, sampleCap)
+    val cells = if (nCells > 0) nCells else ivfCellCount(emb.count(), sampleCap)
+    val cents = trainIvfCentroids(emb, cells, iters, sampleCap)
     // queries probe nProbe cells; corpus vectors live in their single
     // nearest cell — candidates = pairs sharing a probed cell
     val q = emb.select(col("id").as("query_id"), col("embedding").as("qe"),
@@ -342,6 +377,15 @@ object Embeddings {
       .withColumn("cosine", cosine(col("qe"), col("ne")))
     topKRanked(cands, k)
   }
+
+  /** SCALE.md §5 cell-sizing rule: nCells ≈ √n (candidate volume per
+    * query is (nProbe/nCells)·n, so √n balances probe cost against cell
+    * width), bounded to [4, sampleCap/8] so the driver-trained
+    * quantizer keeps ≥8 sample points per cell.
+    */
+  def ivfCellCount(corpusRows: Long, sampleCap: Int = 10000): Int =
+    math.max(4, math.min(sampleCap / 8,
+      math.round(math.sqrt(corpusRows.toDouble)).toInt))
 
   def srpTopK(emb: DataFrame, k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
     val keyed = emb.select(col("id"), col("embedding"),

@@ -727,10 +727,23 @@ object BinaryPipeline {
       .select(col("id"),
         expr("transform(embedding, x -> cast(x as float))").as("embedding"))
 
+  /** All visual duplicate pairs (cosine >= threshold over the pooled
+    * item embeddings). The DEFAULT path is the SRP-LSH bucket join —
+    * no corpus collect, the shape that survives corpus scale; recall
+    * at near-dup cosines (→1) is ~1 and is parity-tested against the
+    * exact scan. `mode = "exact"` opts into the broadcast-scan baseline
+    * (reference kd-tree analog), which enforces its corpus-size
+    * contract loudly.
+    */
   def mediaDuplicatePairs(media: DataFrame, threshold: Double = 0.995,
-                          stride: Int = 1, dim: Int = 16): DataFrame =
-    graft.functions.Embeddings.bruteForceThresholdPairs(
-      mediaEmbeddings(media, stride, dim), threshold)
+                          stride: Int = 1, dim: Int = 16,
+                          mode: String = "lsh"): DataFrame = {
+    val emb = mediaEmbeddings(media, stride, dim)
+    if (mode == "exact")
+      graft.functions.Embeddings.bruteForceThresholdPairs(emb, threshold)
+    else
+      graft.functions.Embeddings.srpThresholdPairs(emb, threshold)
+  }
 
   /** Incremental media matching — the reference fork's periodic loop
     * (`ray_extract_features.py:241-367`: new items matched against ALL

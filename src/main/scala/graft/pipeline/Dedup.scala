@@ -312,15 +312,22 @@ object Dedup {
     * pair exactly once with A the min-cardinality side. Verification is
     * the exact kernel intersection count, so precision is 1.
     *
-    * Scale: the full-index side reintroduces hot-shingle fan-out
-    * (boilerplate shared by f docs -> f index rows per prefix hit) —
-    * inherent to containment semantics, mitigate upstream by dropping
-    * stop-gram shingles or exact-dedup boilerplate first; candidate
-    * volume is still prefix-bounded on the contained side, unlike a
-    * plain inverted-index join which pays f²/2.
+    * Scale: containment semantics force the containing side to index
+    * ALL its elements (its shared part can be an arbitrarily small
+    * fraction — no prefix bound exists), which reintroduces hot-shingle
+    * fan-out: boilerplate shared by f docs puts f index rows under ONE
+    * join key. That skew is handled the same way as the hot LSH bands
+    * ([[candidatePairsSkewAware]]): shingle frequencies are already
+    * measured for the prefix order, so keys with df > `hotCap` are
+    * split out and SALTED — the containing index takes a deterministic
+    * salt in [0, saltBuckets), the (bounded) prefix side replicates
+    * across the salts, and no join task ever materializes a full f-row
+    * bucket. Cold keys pay nothing; the pair set is unchanged
+    * (equality-tested on the boilerplate skew fixture).
     */
   def containmentPairs(docs: DataFrame, cfg: DedupConfig,
-                       tau: Double, materialize: Boolean = true): DataFrame = {
+                       tau: Double, materialize: Boolean = true,
+                       hotCap: Int = 1024, saltBuckets: Int = 16): DataFrame = {
     // materialize=false returns the LAZY plan (no persist/checkpoint) —
     // for plan inspection (DumpPlans): localCheckpoint collapses the
     // lineage to Scan ExistingRDD, hiding the join shape
@@ -343,12 +350,30 @@ object Dedup {
           Window.partitionBy("id").orderBy(col("df"), col("h"))))
         .where(col("rn") <= col("c") - ceil(col("c") * tau) + 2)
         .select(col("id"), col("h"), col("c"))
-      val cands = prefix.as("a").join(sh.as("b"),
-          col("a.h") === col("b.h") &&
-            (col("a.c") < col("b.c") ||
-              (col("a.c") === col("b.c") && col("a.id") < col("b.id"))))
+      // pairing condition: each unordered pair generated exactly once
+      // with A the min-cardinality (contained) side
+      def pairCond = col("a.h") === col("b.h") &&
+        (col("a.c") < col("b.c") ||
+          (col("a.c") === col("b.c") && col("a.id") < col("b.id")))
+      // measured hot-key split (df already computed for the prefix
+      // order): the hot-key set is tiny by construction and broadcast
+      val hotKeys = freq.where(col("df") > hotCap).select("h")
+      val shCold = sh.join(broadcast(hotKeys), Seq("h"), "left_anti")
+      val shHot = sh.join(broadcast(hotKeys), Seq("h"), "left_semi")
+      val prefCold = prefix.join(broadcast(hotKeys), Seq("h"), "left_anti")
+      val prefHot = prefix.join(broadcast(hotKeys), Seq("h"), "left_semi")
+      val coldCands = prefCold.as("a").join(shCold.as("b"), pairCond)
         .select(col("a.id").as("small_id"), col("b.id").as("big_id"))
-        .distinct()
+      // hot keys: containing index salted by its doc id, prefix side
+      // replicated to every salt — each (h, salt) task sees ~f/salt
+      // index rows instead of the full f-row bucket
+      val hotCands = prefHot
+        .withColumn("salt", explode(sequence(lit(0), lit(saltBuckets - 1)))).as("a")
+        .join(shHot.withColumn("salt",
+          pmod(xxhash64(col("id")), lit(saltBuckets))).as("b"),
+          pairCond && col("a.salt") === col("b.salt"))
+        .select(col("a.id").as("small_id"), col("b.id").as("big_id"))
+      val cands = coldCands.union(hotCands).distinct()
       val sa = shingled.select(col("id").as("small_id"), col("shingles").as("sh_a"))
       val sb = shingled.select(col("id").as("big_id"), col("shingles").as("sh_b"))
       val result = cands.join(sa, "small_id").join(sb, "big_id")

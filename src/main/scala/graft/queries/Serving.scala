@@ -144,13 +144,16 @@ object Serving {
     minTextLen.foreach(n => df = df.where(length(col("text")) >= n))
     tsFrom.foreach(t => df = df.where(col("warc_ts") >= lit(t)))
     tsTo.foreach(t => df = df.where(col("warc_ts") < lit(t)))
-    if (sortBy.nonEmpty || limit.isDefined) {
+    if (sortBy.nonEmpty || limit.isDefined || offset > 0) {
       val keys = sortBy.map {
         case s if s.startsWith("-") => col(s.drop(1)).desc
         case s => col(s).asc
       } :+ col("url").asc
       df = df.orderBy(keys: _*)
-      limit.foreach(n => df = df.offset(offset).limit(n))
+      // offset applies with or without a limit — an offset-only page
+      // request must not silently return unskipped rows
+      if (offset > 0) df = df.offset(offset)
+      limit.foreach(n => df = df.limit(n))
     }
     df
   }

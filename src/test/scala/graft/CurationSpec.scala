@@ -286,6 +286,10 @@ class CurationSpec extends SparkSpecBase {
         df.select("id_a", "id_b").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       val got = ps(Dedup.containmentPairs(docs, cfg, tau))
+      // hotCap=1 forces EVERY shared shingle down the salted hot path —
+      // the salted join must produce the identical pair set
+      val saltedAll = ps(Dedup.containmentPairs(docs, cfg, tau,
+        hotCap = 1, saltBuckets = 3))
       val sh = Dedup.shingleSets(docs, cfg).select(col("id"), col("shingles"))
       val brute = ps(sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
         .where(graft.functions.Expressions
@@ -295,7 +299,46 @@ class CurationSpec extends SparkSpecBase {
       assert(got == brute,
         s"trial=$trial tau=$tau n=$n: prefix=${got.size} brute=${brute.size} " +
           s"missing=${brute -- got} extra=${got -- brute}")
+      assert(saltedAll == brute,
+        s"trial=$trial tau=$tau n=$n: salted hot path diverges: " +
+          s"missing=${brute -- saltedAll} extra=${saltedAll -- brute}")
     }
+  }
+
+  test("containmentPairs hot-shingle salting: pair set preserved on the boilerplate skew fixture, no full hot bucket") {
+    import graft.pipeline.{Dedup, DedupConfig}
+    val cfg = DedupConfig()
+    val (pages, _) = graft.corpus.SynthCorpus.generate(
+      spark, seed = 31L, nBase = 120, dupRate = 0.25, skewBoilerplate = true)
+    val docs = Dedup.fromPages(pages)
+    def ps(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val hotCap = 8
+    val saltBuckets = 4
+    val salted = ps(Dedup.containmentPairs(docs, cfg, tau = 0.6,
+      hotCap = hotCap, saltBuckets = saltBuckets))
+    val unsalted = ps(Dedup.containmentPairs(docs, cfg, tau = 0.6,
+      hotCap = Int.MaxValue))
+    assert(salted == unsalted,
+      s"salting changed the pair set: missing=${unsalted -- salted} " +
+        s"extra=${salted -- unsalted}")
+    // the fixture genuinely exercises the hot path: shared boilerplate
+    // shingles exceed the cap
+    val sh = Dedup.shingleSets(docs, cfg)
+      .select(col("id"), explode(col("shingles")).as("h"))
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val nHot = freq.where(col("df") > hotCap).count()
+    assert(nHot > 0, "skew fixture produced no hot shingles — test is vacuous")
+    // bucket bound: after salting, no (h, salt) task bucket holds a hot
+    // key's full f-row index
+    val buckets = sh.join(freq.where(col("df") > hotCap), "h")
+      .groupBy(col("h"), col("df"),
+        pmod(xxhash64(col("id")), lit(saltBuckets)).as("salt"))
+      .agg(count(lit(1)).as("n"))
+    val fullBuckets = buckets.where(col("n") === col("df")).count()
+    assert(fullBuckets == 0,
+      "a salted hot key still materializes its full bucket in one task")
   }
 
   test("chunkDupStats: hand-computed window duplication fractions") {

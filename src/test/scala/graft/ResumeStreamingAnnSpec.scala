@@ -284,6 +284,45 @@ class ResumeStreamingAnnSpec extends SparkSpecBase {
     assert(ranks.where(col("n") > 5 || col("m") > 5).count() == 0)
   }
 
+  test("IVF auto-sizing: nCells ≈ √n rule, bounded; recall green under the rule") {
+    import graft.functions.Embeddings.ivfCellCount
+    assert(ivfCellCount(100) == 10)
+    assert(ivfCellCount(10000) == 100)
+    assert(ivfCellCount(10000000L) == 1250, "sampleCap/8 bound ignored")
+    assert(ivfCellCount(4) == 4, "floor ignored")
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val n = e.count()
+    val cells = ivfCellCount(n)
+    assert(cells != 16 && cells > 4, s"rule must differ from the old fixed default at n=$n")
+    val exact = Embeddings.bruteForceTopK(e, e, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Embeddings.ivfTopK(e, k = 5, nProbe = math.max(2, cells / 3))
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & auto).size.toDouble / exact.size
+    info(s"auto-IVF: n=$n cells=$cells recall=$recall")
+    assert(recall >= 0.5, s"auto-sized IVF recall $recall too low")
+  }
+
+  test("collect-shaped baselines enforce their corpus-size contract loudly") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val ex1 = intercept[IllegalArgumentException] {
+      Embeddings.bruteForceTopK(e, e, k = 5, maxCorpus = 10)
+    }
+    assert(ex1.getMessage.contains("srpTopK"), "guard must name the scale swap")
+    val ex2 = intercept[IllegalArgumentException] {
+      Embeddings.bruteForceThresholdPairs(e, 0.9, maxCorpus = 10)
+    }
+    assert(ex2.getMessage.contains("srpThresholdPairs"))
+    val ex3 = intercept[IllegalArgumentException] {
+      Embeddings.broadcastThresholdJoin(e, e, 0.9, maxSmall = 10)
+    }
+    assert(ex3.getMessage.contains("srpThresholdPairs"))
+  }
+
   test("multimodal plumbing: schema, determinism, partition-preserving batch execution") {
     val spark2 = spark
     import spark2.implicits._
