@@ -810,6 +810,8 @@ object SparkEntry {
       ("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s
          |       FROM toks, LATERAL unnest(range(1, len(w)-1)) AS g(i)),
+         |dsh AS (SELECT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s, i
+         |        FROM toks, LATERAL unnest(range(1, len(w)-1)) AS g(i)),
          |tmpl AS (SELECT doc_id AS template_id,
          |                array_to_string(w[6:15], ' ') AS t_text
          |         FROM toks WHERE doc_id < 3),
@@ -818,13 +820,18 @@ object SparkEntry {
          |        FROM tt, LATERAL unnest(range(1, len(tw)-1)) AS g(i)),
          |tcard AS (SELECT template_id, count(*) AS c FROM tsh GROUP BY 1),
          |hits AS (SELECT t.template_id, d.doc_id, count(*) AS i
-         |         FROM tsh t JOIN sh d ON t.s = d.s GROUP BY 1, 2)
+         |         FROM tsh t JOIN sh d ON t.s = d.s GROUP BY 1, 2),
+         |firsthit AS (SELECT t.template_id, d.doc_id, min(d.i) AS first_shingle_pos
+         |             FROM tsh t JOIN dsh d ON t.s = d.s GROUP BY 1, 2)
          |SELECT h.template_id, h.doc_id, h.i*1.0/tc.c AS coverage,
-         |       strpos(doc.text, tm.t_text) > 0 AS contained
+         |       strpos(doc.text, tm.t_text) > 0 AS contained,
+         |       CAST(strpos(doc.text, tm.t_text) AS BIGINT) AS match_pos,
+         |       CAST(fh.first_shingle_pos AS BIGINT) AS first_shingle_pos
          |FROM hits h
          |JOIN tcard tc ON tc.template_id = h.template_id
          |JOIN documents doc ON doc.doc_id = h.doc_id
          |JOIN tmpl tm ON tm.template_id = h.template_id
+         |JOIN firsthit fh ON fh.template_id = h.template_id AND fh.doc_id = h.doc_id
          |WHERE h.i*1.0/tc.c >= 0.5""".stripMargin),
     "q_props_extract" ->
       ("SELECT CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k, " +

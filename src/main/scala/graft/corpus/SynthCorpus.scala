@@ -87,17 +87,40 @@ object SynthCorpus {
 
   private val mutations = Array("substitute", "boilerplate", "truncate", "reorder")
 
-  /** Deterministic html wrapper; extractText(html) must byte-equal text. */
+  private val pubTimeFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  /** Deterministic html wrapper; extractText(html) must byte-equal text.
+    * ~60% of pages carry an `article:published_time` meta tag with an
+    * ISO-8601 instant, ~10% carry deliberate GARBAGE in that tag, the
+    * rest omit it — so typed-date extraction (exif DateTime analog) is
+    * exercised on present/absent/unparseable inputs by every corpus.
+    * Meta tags live inside `<head>` and are stripped whole by
+    * extractText, so the byte-identity contract is untouched.
+    */
   def wrapHtml(text: String, rng: Rng): Array[Byte] = {
     val style = "body { margin: 0; color: #333; }"
     val script = s"var x = ${rng.nextInt(1000)}; if (x > 3) { x = x * 2; }"
+    // SIDE stream seeded from the text: the shared rng's consumption
+    // pattern is load-bearing (every downstream draw — dup decisions,
+    // mutations — would shift), so the date meta must not draw from it
+    val dRng = new Rng(mix(scala.util.hashing.MurmurHash3.stringHash(text).toLong))
+    val dateRoll = dRng.nextInt(10)
+    val pubEpoch = 1500000000L + (dRng.nextLong() >>> 40)
+    val pubMeta =
+      if (dateRoll < 6)
+        s"""<meta property="article:published_time" content="${pubTimeFmt.format(java.time.Instant.ofEpochSecond(pubEpoch))}">"""
+      else if (dateRoll < 7)
+        s"""<meta property="article:published_time" content="not-a-date-${dRng.nextInt(100)}">"""
+      else ""
     // title left empty: extractText keeps title TEXT, and the contract is
     // extractText(html) byte-equals the body text. entities round-trip:
     // '&' never occurs in the vocab, so entity decoding cannot produce
     // accidental matches.
     val html =
       s"""<!DOCTYPE html>
-         |<html><head><title></title>
+         |<html><head><title></title>$pubMeta
          |<style type="text/css">$style</style>
          |<script>$script</script></head>
          |<body><div class="main"><p>${text.split(" ").grouped(12).map(_.mkString(" ")).mkString("</p>\n<p>")}</p></div>

@@ -45,6 +45,21 @@ object PageMetadata {
     extractOrNull(html(htmlBytes),
       """(?is)<link\s+rel=["']canonical["']\s+href=["']([^"']*)["']""")
 
+  /** Typed publication timestamp (the reference's DateTime-typed EXIF
+    * columns, `db/schema.py:120-123`): the `article:published_time`
+    * OpenGraph meta (or a `date` meta), parsed as an ISO-8601 UTC
+    * instant. Absent tag OR unparseable content -> null, exactly like
+    * a missing/garbled EXIF date — `try_to_timestamp` never throws.
+    */
+  def publishedTs(htmlBytes: Column): Column = {
+    val raw = coalesce(
+      extractOrNull(html(htmlBytes),
+        """(?is)<meta\s+property=["']article:published_time["']\s+content=["']([^"']*)["']"""),
+      extractOrNull(html(htmlBytes),
+        """(?is)<meta\s+name=["']date["']\s+content=["']([^"']*)["']"""))
+    try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))
+  }
+
   private def countTag(s: Column, tag: String): Column =
     size(regexp_extract_all(s, lit(s"(?is)<$tag[\\s>]"), lit(0))).cast("long")
 
@@ -59,6 +74,7 @@ object PageMetadata {
       metaContent(col(htmlCol), "description").as("meta_description"),
       metaContent(col(htmlCol), "keywords").as("meta_keywords"),
       canonicalUrl(col(htmlCol)).as("canonical_url"),
+      publishedTs(col(htmlCol)).as("published_ts"),
       countTag(s, "a").as("n_links"),
       countTag(s, "img").as("n_images"),
       countTag(s, "p").as("n_paragraphs"),

@@ -16,7 +16,19 @@ import graft.functions.Expressions
 object TemplateSearch {
 
   /** templates(template_id, text) X docs(id, text) ->
-    * (template_id, doc_id, coverage, contained) for coverage >= minCoverage.
+    * (template_id, doc_id, coverage, contained, match_pos,
+    * first_shingle_pos) for coverage >= minCoverage.
+    *
+    * Match positions are the reference's `closest_match` /
+    * `closest_match_time` analog (`template_matching.py:139-148`;
+    * `db/schema.py:62-71`): `match_pos` is the 1-based character offset
+    * of the template's first EXACT occurrence in the doc (0 when not
+    * contained — strpos semantics), and `first_shingle_pos` is the
+    * 1-based token index of the first doc shingle shared with the
+    * template — where the fuzzy match STARTS even when no exact
+    * substring exists. Both are computed only on rows that survive the
+    * coverage threshold, so the per-row HOF cost is bounded by the hit
+    * count, not the corpus.
     */
   def search(templates: DataFrame, docs: DataFrame, k: Int = 3,
              minCoverage: Double = 0.5): DataFrame = {
@@ -27,13 +39,32 @@ object TemplateSearch {
     val d = docs.select(col("id").as("doc_id"),
       Expressions.shingleHashes(col("text"), k).as("d_sh"),
       col("text").as("d_text"))
-    d.join(t) // broadcast nested loop by design: |templates| is tiny
+    val hits = d.join(t) // broadcast nested loop by design: |templates| is tiny
       .withColumn("inter", size(array_intersect(col("t_sh"), col("d_sh"))))
       .withColumn("coverage",
         when(size(col("t_sh")) === 0, 0.0)
           .otherwise(col("inter").cast("double") / size(col("t_sh"))))
       .where(col("coverage") >= minCoverage)
+    // doc/template word arrays for the positional pass (shingle-hash
+    // arrays are DISTINCT sets — token order lives in the raw text)
+    val dw = split(col("d_text"), " ")
+    val tw = split(col("t_text"), " ")
+    // greatest(.., 1): Spark's sequence(1, stop) runs DESCENDING for
+    // stop < 1 — the when-guard already excludes that case, but the
+    // bound keeps the expression safe even if evaluated eagerly
+    val tShingles = transform(
+      sequence(lit(1), greatest(size(tw) - (k - 1), lit(1))),
+      j => concat_ws(" ", slice(tw, j, lit(k))))
+    val dIdx = sequence(lit(1), greatest(size(dw) - (k - 1), lit(1)))
+    hits
       .withColumn("contained", col("d_text").contains(col("t_text")))
-      .select(col("template_id"), col("doc_id"), col("coverage"), col("contained"))
+      .withColumn("match_pos", instr(col("d_text"), col("t_text")).cast("long"))
+      .withColumn("first_shingle_pos",
+        when(size(dw) >= k && size(tw) >= k,
+          element_at(filter(dIdx, j =>
+            array_contains(tShingles, concat_ws(" ", slice(dw, j, lit(k))))), 1)
+            .cast("long")))
+      .select(col("template_id"), col("doc_id"), col("coverage"),
+        col("contained"), col("match_pos"), col("first_shingle_pos"))
   }
 }

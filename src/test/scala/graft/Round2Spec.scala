@@ -228,12 +228,26 @@ class Round2Spec extends SparkSpecBase {
         |<title>Hello World</title>
         |<meta name="description" content="A test page">
         |<meta name="keywords" content="a,b">
+        |<meta property="article:published_time" content="2023-04-05T06:07:08Z">
         |<link rel="canonical" href="https://ex.org/x">
         |<style>s{}</style><script>var i=1;</script></head>
         |<body><h1>H</h1><h2>I</h2><p>one</p><p>two</p>
         |<a href="/x">l</a><a href="/y">m</a><img src="i.png"></body></html>""".stripMargin
+    val garbageDate = golden.replace("2023-04-05T06:07:08Z", "not a real date")
+    val noDate = golden.replaceAll("""(?s)<meta property="article:published_time"[^>]*>\n""", "")
     val df = Seq(("https://ex.org/x", golden.getBytes("UTF-8"))).toDF("url", "html")
     val m = PageMetadata.extract(df).head
+    // DateTime-typed column (exif DateTime analog): ISO instant parsed,
+    // garbage -> null, absent -> null — never an error
+    assert(m.getAs[java.sql.Timestamp]("published_ts") ==
+      java.sql.Timestamp.from(java.time.Instant.parse("2023-04-05T06:07:08Z")))
+    val mGarbage = PageMetadata.extract(
+      Seq(("u", garbageDate.getBytes("UTF-8"))).toDF("url", "html")).head
+    assert(mGarbage.getAs[java.sql.Timestamp]("published_ts") == null,
+      "garbage date must parse to null, not throw")
+    val mAbsent = PageMetadata.extract(
+      Seq(("u", noDate.getBytes("UTF-8"))).toDF("url", "html")).head
+    assert(mAbsent.getAs[java.sql.Timestamp]("published_ts") == null)
     assert(m.getAs[String]("title") == "Hello World")
     assert(m.getAs[String]("charset") == "utf-8")
     assert(m.getAs[String]("lang_attr") == "en")
@@ -253,6 +267,11 @@ class Round2Spec extends SparkSpecBase {
     assert(meta.where(!col("has_script") || !col("has_style")).count() == 0)
     val lens = meta.join(pages.select(col("url"), length(col("text")).as("want")), "url")
     assert(lens.where(col("text_len") =!= col("want")).count() == 0)
+    // the corpus plants present (~60%), garbage (~10%) and absent dates:
+    // some rows must parse and some must not — both classes exercised
+    val withTs = meta.where(col("published_ts").isNotNull).count()
+    assert(withTs > 0 && withTs < meta.count(),
+      s"corpus date mix degenerate: $withTs of ${meta.count()} parsed")
   }
 
   test("winnow kernel bit-equals the built-in HOF formulation (incl. unicode)") {
