@@ -38,7 +38,8 @@ import graft.store.{SeenFilter, TxEntry, TxLog}
   * Store reads go through the commit log: a transient read failure
   * PROPAGATES and fails the batch (never classified as "store empty" —
   * that would re-append every row as new), and a retried micro-batch
-  * replaces its own signature commit instead of duplicating it.
+  * is exact by CONTENT dedup (its rows are already seen, so the retry
+  * appends an empty commit — see [[processBatch]]).
   *
   * No watermark is needed: the pipeline is insensitive to late rows
   * because the flush is idempotent (SURVEY.md §2.9).
@@ -70,12 +71,7 @@ object IncrementalIngest {
             checkpointDir: String, matchEvery: Int = 1, compactEvery: Int = 0,
             bloomRebuildEvery: Int = 8): StreamingQuery = {
     require(matchEvery >= 1, "matchEvery must be >= 1")
-    // seen-filter state, kept across batches of this query: the sketch
-    // covers exactly the store entries in `bloomPaths`; anything
-    // committed since is the delta and is anti-joined directly
-    var bloom: BloomFilter = null
-    var bloomPaths: Set[String] = Set.empty
-
+    val state = new IngestState
     pagesStream
       .select(col("url").as("id"), col("text"))
       .writeStream
@@ -83,70 +79,93 @@ object IncrementalIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val sl = sigLog(workDir, cfg)
-        val bl = bandLog(workDir, cfg)
-        val newSigs = Dedup.signatures(Dedup.shingleSets(batch, cfg), cfg)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          // (1) seen-filtered idempotent signature flush
-          val snap = sl.snapshot()
-          val pending =
-            if (snap.entries.isEmpty) newSigs
-            else {
-              val store = sl.readSnapshot(spark, snap)
-              val delta = snap.entries.filterNot(e => bloomPaths.contains(e.path))
-              if (bloom == null || delta.size >= bloomRebuildEvery) {
-                val keyEstimate = math.max(1024L,
-                  store.select("id").count())
-                bloom = SeenFilter.build(store, col("id"), keyEstimate)
-                bloomPaths = snap.entries.map(_.path).toSet
-                // sketch now covers the whole snapshot: no delta left
-                SeenFilter.notSeen(newSigs, col("id"), bloom, store, col("id"))
-              } else {
-                // bloom-miss rows skip the store join; the residue
-                // anti-joins the full store, and rows added since the
-                // sketch (the delta commits) are anti-joined exactly
-                val unseenVsSketch =
-                  SeenFilter.notSeen(newSigs, col("id"), bloom, store, col("id"))
-                if (delta.isEmpty) unseenVsSketch
-                else unseenVsSketch.join(
-                  sl.readEntries(spark, delta).select("id"), Seq("id"), "left_anti")
-              }
-            }
-          writeCommit(sl, pending, batchId)
-
-          // (2) incremental BAND store: append band keys for ids the
-          // store has never banded (anti-join vs the band store itself,
-          // so a crash between the sig and band commits self-heals on
-          // retry). The all-side of every later match run is READ from
-          // here — never recomputed from the full signature store.
-          val bandPending = bl.read(spark) match {
-            case Some(bs) => Dedup.validSignatures(newSigs)
-              .join(bs.select("id"), Seq("id"), "left_anti")
-            case None => Dedup.validSignatures(newSigs)
-          }
-          writeCommit(bl,
-            Dedup.bandTable(bandPending, cfg).select(col("id"), col("band_key")),
-            batchId)
-
-          // (3) match cadence (fork: 3600 s regeneration vs 600 s ingest)
-          if ((batchId + 1) % matchEvery == 0)
-            matchPending(spark, workDir, cfg)
-
-          // (4) compaction cadence: match first so the path-based match
-          // state can be fast-forwarded across the rewrite
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-            matchPending(spark, workDir, cfg)
-            compactStores(spark, workDir, cfg)
-            writeMatchedPaths(workDir, cfg,
-              sigLog(workDir, cfg).snapshot().entries.map(_.path).toSet)
-            bloom = null // compaction rewrote the paths → rebuild next batch
-            bloomPaths = Set.empty
-          }
-        } finally newSigs.unpersist()
+        processBatch(batch, batchId, cfg, workDir,
+          matchEvery, compactEvery, bloomRebuildEvery, state)
       }
       .start()
+  }
+
+  /** Seen-filter state carried across batches of one query: the sketch
+    * covers exactly the store entries in `bloomPaths`; anything
+    * committed since is the delta and is anti-joined directly.
+    */
+  final class IngestState {
+    private[streaming] var bloom: BloomFilter = null
+    private[streaming] var bloomPaths: Set[String] = Set.empty
+  }
+
+  /** One micro-batch of the ingest loop (exposed for direct testing —
+    * in production [[start]]'s foreachBatch drives it). IDEMPOTENT
+    * under micro-batch re-delivery: every store write is dedupled by
+    * CONTENT (seen filter / anti-joins) and committed as an APPEND —
+    * never as a batch-replace, which on a retry would substitute the
+    * first attempt's rows with the (now empty, already-seen) re-run.
+    */
+  def processBatch(batch: DataFrame, batchId: Long, cfg: DedupConfig,
+                   workDir: String, matchEvery: Int = 1, compactEvery: Int = 0,
+                   bloomRebuildEvery: Int = 8,
+                   state: IngestState = new IngestState): Unit = {
+    val spark = batch.sparkSession
+    val sl = sigLog(workDir, cfg)
+    val bl = bandLog(workDir, cfg)
+    val newSigs = Dedup.signatures(Dedup.shingleSets(batch, cfg), cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // (1) seen-filtered idempotent signature flush
+      val snap = sl.snapshot()
+      val pending =
+        if (snap.entries.isEmpty) newSigs
+        else {
+          val store = sl.readSnapshot(spark, snap)
+          val delta = snap.entries.filterNot(e => state.bloomPaths.contains(e.path))
+          if (state.bloom == null || delta.size >= bloomRebuildEvery) {
+            val keyEstimate = math.max(1024L, store.select("id").count())
+            state.bloom = SeenFilter.build(store, col("id"), keyEstimate)
+            state.bloomPaths = snap.entries.map(_.path).toSet
+            // sketch now covers the whole snapshot: no delta left
+            SeenFilter.notSeen(newSigs, col("id"), state.bloom, store, col("id"))
+          } else {
+            // bloom-miss rows skip the store join; the residue
+            // anti-joins the full store, and rows added since the
+            // sketch (the delta commits) are anti-joined exactly
+            val unseenVsSketch =
+              SeenFilter.notSeen(newSigs, col("id"), state.bloom, store, col("id"))
+            if (delta.isEmpty) unseenVsSketch
+            else unseenVsSketch.join(
+              sl.readEntries(spark, delta).select("id"), Seq("id"), "left_anti")
+          }
+        }
+      writeCommit(sl, pending, batchId)
+
+      // (2) incremental BAND store: append band keys for ids the
+      // store has never banded (anti-join vs the band store itself,
+      // so a crash between the sig and band commits self-heals on
+      // retry). The all-side of every later match run is READ from
+      // here — never recomputed from the full signature store.
+      val bandPending = bl.read(spark) match {
+        case Some(bs) => Dedup.validSignatures(newSigs)
+          .join(bs.select("id"), Seq("id"), "left_anti")
+        case None => Dedup.validSignatures(newSigs)
+      }
+      writeCommit(bl,
+        Dedup.bandTable(bandPending, cfg).select(col("id"), col("band_key")),
+        batchId)
+
+      // (3) match cadence (fork: 3600 s regeneration vs 600 s ingest)
+      if ((batchId + 1) % matchEvery == 0)
+        matchPending(spark, workDir, cfg)
+
+      // (4) compaction cadence: match first so the path-based match
+      // state can be fast-forwarded across the rewrite
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+        matchPending(spark, workDir, cfg)
+        compactStores(spark, workDir, cfg)
+        writeMatchedPaths(workDir, cfg,
+          sigLog(workDir, cfg).snapshot().entries.map(_.path).toSet)
+        state.bloom = null // compaction rewrote the paths → rebuild next batch
+        state.bloomPaths = Set.empty
+      }
+    } finally newSigs.unpersist()
   }
 
   /** Match every signature-store id not yet covered by a match run
@@ -175,19 +194,21 @@ object IncrementalIngest {
         newPairs.join(p.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
       case None => newPairs
     }
-    writeCommit(pl, fresh, -1L, replace = false)
+    writeCommit(pl, fresh, -1L)
     writeMatchedPaths(workDir, cfg, snap.entries.map(_.path).toSet)
   }
 
-  /** Write a DataFrame as one committed data directory. `replace = true`
-    * makes a retried micro-batch replace its own earlier commit.
+  /** Write a DataFrame as one committed data directory, ALWAYS as an
+    * append. The TxLog's batch-replace mode must not be used here: the
+    * streaming writes dedup by CONTENT against the store, so a retried
+    * micro-batch legitimately produces an empty pending set — a
+    * replace commit would swap the first attempt's rows for that empty
+    * set and lose data. Content dedup alone makes the retry exact.
     */
-  private def writeCommit(log: TxLog, df: DataFrame, batchId: Long,
-                          replace: Boolean = true): Unit = {
+  private def writeCommit(log: TxLog, df: DataFrame, batchId: Long): Unit = {
     val dir = log.newDataDir()
     df.write.mode(SaveMode.Overwrite).parquet(dir.getPath)
-    log.commitAppend(Seq(TxEntry(log.relativize(dir), batchId)),
-      replaceBatch = if (replace) Some(batchId) else None): Unit
+    log.commitAppend(Seq(TxEntry(log.relativize(dir), batchId))): Unit
   }
 
   // --- match-state marker (which store paths a match run has covered) ---

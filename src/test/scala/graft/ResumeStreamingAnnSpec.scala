@@ -212,6 +212,45 @@ class ResumeStreamingAnnSpec extends SparkSpecBase {
     assert(residue <= 25, s"bloom residue too large to claim join bypass: $residue/500")
   }
 
+  test("micro-batch RETRY (same batchId re-run) loses no signatures, bands or pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val (pages, _) = SynthCorpus.generate(spark, seed = 15L, nBase = 80, dupRate = 0.3)
+    val rows = pages.select("url", "text").as[(String, String)].collect().toSeq
+    val workDir = tmpDir("graft-retry")
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val state = new IncrementalIngest.IngestState
+    def asDf(b: Seq[(String, String)]) = b.toDF("url", "text")
+      .select(col("url").as("id"), col("text"))
+    IncrementalIngest.processBatch(asDf(b1), 0L, cfg, workDir, state = state)
+    IncrementalIngest.processBatch(asDf(b2), 1L, cfg, workDir, state = state)
+    val sigsBefore = IncrementalIngest.signatures(spark, workDir, cfg).count()
+    val pairsBefore = IncrementalIngest.pairs(spark, workDir, cfg)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // foreachBatch contract: batch 1 may be RE-DELIVERED after a crash
+    // before the checkpoint commit — re-running it must change nothing
+    // (in particular it must NOT replace batch 1's commit with the
+    // now-empty already-seen set)
+    IncrementalIngest.processBatch(asDf(b2), 1L, cfg, workDir, state = state)
+    val sigs = IncrementalIngest.signatures(spark, workDir, cfg)
+    assert(sigs.count() == sigsBefore, "retry changed the signature store")
+    assert(sigs.select("id").distinct().count() == sigsBefore)
+    val bands = IncrementalIngest.bands(spark, workDir, cfg)
+    assert(bands.groupBy("id").count()
+      .where(col("count") =!= cfg.bands).count() == 0,
+      "retry duplicated or dropped band rows")
+    val pairsAfter = IncrementalIngest.pairs(spark, workDir, cfg)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairsAfter == pairsBefore, "retry changed the pair store")
+    // and the retried batch equals the batch pipeline over all rows
+    val batchPairs = Dedup.pairs(Dedup.fromPages(pages), cfg)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairsAfter == batchPairs)
+  }
+
   test("corrupt signature store FAILS the batch loudly (no duplicate re-append)") {
     val spark2 = spark
     import spark2.implicits._
