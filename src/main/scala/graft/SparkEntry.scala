@@ -371,6 +371,24 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"), col("rank"))
     }),
+    // SemDeDup-style semantic dedup over embeddings: planted exact-dup
+    // vectors (vec_id%5==0 cloned at id+100000, the corpus has no
+    // natural near-dups — max pairwise cosine 0.51) -> SRP-LSH
+    // threshold pairs -> connected components -> one keeper per group
+    // (quality = -id, so the ORIGINAL is the canonical representative)
+    "q_semantic_dedup" -> ((s, dir) => {
+      val e = embeddings(s, dir).select(col("vec_id").as("id"), col("embedding"))
+      val corpus = e.unionByName(
+        e.where(col("id") % 5 === 0)
+          .select((col("id") + 100000).as("id"), col("embedding")))
+      val sd = graft.queries.Curation.semanticDedup(
+        corpus, threshold = 0.999, quality = -col("id").cast("double"))
+      val gmin = sd.groupBy("cluster_id")
+        .agg(min(col("id").cast("long")).as("group_min_id"))
+      sd.join(gmin, "cluster_id")
+        .select(col("id").cast("long").as("vec_id"), col("group_min_id"),
+          col("kept"))
+    }),
     // --- incremental-window / streaming-shaped queries ------------------
     "q_events_window" -> ((s, dir) =>
       graft.streaming.IncrementalIngest.windowedCounts(events(s, dir), "ts", "1 hour")
@@ -759,6 +777,25 @@ object SparkEntry {
         "r AS (SELECT query_id, neighbor_id, round(cos, 4) AS cosine, " +
         "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank " +
         "FROM p) SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5"),
+    "q_semantic_dedup" ->
+      ("""WITH RECURSIVE corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 5 = 0),
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM corpus a JOIN corpus b
+         |      ON a.vec_id < b.vec_id
+         |      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                                 CAST(b.embedding AS DOUBLE[])) >= 0.999),
+         |e AS (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),
+         |reach(a, b) AS (SELECT a, b FROM e
+         |                UNION
+         |                SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         |cl AS (SELECT a AS vec_id, least(min(b), a) AS cid FROM reach GROUP BY a),
+         |assigned AS (SELECT c.vec_id, coalesce(cl.cid, c.vec_id) AS cid
+         |             FROM corpus c LEFT JOIN cl ON cl.vec_id = c.vec_id),
+         |g AS (SELECT cid, min(vec_id) AS group_min_id FROM assigned GROUP BY 1)
+         |SELECT a.vec_id, g.group_min_id, (a.vec_id = g.group_min_id) AS kept
+         |FROM assigned a JOIN g ON g.cid = a.cid""".stripMargin),
     "q_events_window" ->
       ("SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n, " +
         "round(sum(value), 4) AS total_value FROM events GROUP BY 1, 2"),

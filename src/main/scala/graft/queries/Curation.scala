@@ -202,4 +202,32 @@ object Curation {
     // 65536/65536 must keep everything: 'g' sorts above every hex digit
     if (numerator == 65536) "g" else f"$numerator%04x"
   }
+
+  /** SemDeDup-style semantic deduplication over an embedding table
+    * (id, embedding float[]): pairs with cosine >= threshold via the
+    * SRP-LSH bucket join (collect-free — recall at dedup-grade
+    * thresholds is ~1 and identical vectors ALWAYS collide), resolved
+    * into duplicate groups by the same connected-components operator as
+    * the text pipeline, then one keeper per group ranked by `quality`
+    * (ties -> min id; SemDeDup keeps one representative per semantic
+    * cluster — quality plays its centroid-distance role). Singletons
+    * are their own group and trivially kept. Returns
+    * (id, cluster_id, quality, kept) with id/cluster_id as strings
+    * (the pair join's canonical id type).
+    *
+    * Scale shape: explode-by-table bucket join (stage-2 skew treatment
+    * applies), sparse above-threshold pair exchange, log-rounds CC, one
+    * window partitioned by bounded group id — no stage touches n².
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double,
+                    quality: org.apache.spark.sql.Column = lit(0.0),
+                    bits: Int = 12, tables: Int = 4): DataFrame = {
+    val pairs = graft.functions.Embeddings
+      .srpThresholdPairs(emb, threshold, bits, tables)
+    val clusters = graft.pipeline.Dedup.clusters(pairs)
+    graft.pipeline.Dedup.keepList(
+      emb.select(col("id").cast("string").as("id"), col("embedding")),
+      clusters, quality)
+      .select(col("id"), col("cluster_id"), col("quality"), col("kept"))
+  }
 }

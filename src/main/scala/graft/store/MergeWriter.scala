@@ -61,6 +61,22 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
 
   def exists(): Boolean = log.snapshot().entries.nonEmpty
 
+  /** Time travel: the table state as of a committed log version
+    * (Iceberg snapshot-read semantics — every manifest is a full
+    * snapshot, so any retained version reconstructs exactly). Fails
+    * loudly if the version was vacuumed past.
+    */
+  def readAsOf(version: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val snap = log.snapshotAt(version)
+    require(snap.entries.nonEmpty, s"version $version of $path is empty")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_batch").desc)
+    log.readSnapshot(spark, snap)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn", "_batch")
+  }
+
   /** Compact the batch history to current state: materializes read()
     * (last-writer-wins) into ONE data directory and commits a replace
     * manifest (Iceberg `rewrite_data_files` semantics), so read() stops

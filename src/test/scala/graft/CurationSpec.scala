@@ -341,6 +341,33 @@ class CurationSpec extends SparkSpecBase {
       "a salted hot key still materializes its full bucket in one task")
   }
 
+  test("semanticDedup: planted duplicate embeddings collapse to one quality-ranked keeper") {
+    val spark2 = spark
+    import spark2.implicits._
+    // three semantic groups + two singletons; within-group vectors are
+    // identical or near-identical, cross-group nearly orthogonal
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      ("a1", v(1, 0, 0, 0)), ("a2", v(1, 0, 0, 0)), ("a3", v(0.9999, 0.0141, 0, 0)),
+      ("b1", v(0, 1, 0, 0)), ("b2", v(0, 1, 0, 0)),
+      ("c1", v(0, 0, 1, 0)), ("c2", v(0, 0, 0.9999, 0.0141)),
+      ("s1", v(0, 0, 0, 1)), ("s2", v(0.7, 0.7, 0.1, 0.1))
+    ).toDF("id", "embedding")
+    // quality: 'a3' outranks its group; elsewhere ties -> min id
+    val quality = when(col("id") === "a3", 2.0).otherwise(1.0)
+    val got = Curation.semanticDedup(emb, threshold = 0.999, quality = quality)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(3))).toSet
+    val expected = Set(
+      ("a1", "a1", false), ("a2", "a1", false), ("a3", "a1", true),
+      ("b1", "b1", true), ("b2", "b1", false),
+      ("c1", "c1", true), ("c2", "c1", false),
+      ("s1", "s1", true), ("s2", "s2", true))
+    assert(got == expected, s"got $got")
+    // exactly one keeper per group, singletons kept
+    val keepers = got.groupBy(_._2).map { case (g, ms) => g -> ms.count(_._3) }
+    assert(keepers.values.forall(_ == 1))
+  }
+
   test("chunkDupStats: hand-computed window duplication fractions") {
     val spark2 = spark
     import spark2.implicits._

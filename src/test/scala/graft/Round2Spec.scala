@@ -193,6 +193,11 @@ class Round2Spec extends SparkSpecBase {
     val page2 = Serving.listFiles(pages, sortBy = Seq("-warc_ts"),
       offset = 3, limit = Some(3)).select("url").collect().map(_.getString(0)).toSeq
     assert(page2 == Seq("u/b"))
+    // offset WITHOUT a limit must still skip (regression: it was
+    // silently ignored when limit was None)
+    val offsetOnly = Serving.listFiles(pages, sortBy = Seq("-warc_ts"),
+      offset = 2).select("url").collect().map(_.getString(0)).toSeq
+    assert(offsetOnly == Seq("u/d", "u/b"))
     // filter + ascending lang sort composes
     val en = Serving.listFiles(pages, langIn = Seq("en"),
       sortBy = Seq("lang", "warc_ts"), limit = Some(10))

@@ -143,6 +143,27 @@ class TxLogSpec extends SparkSpecBase {
     assert(!new File(s"$dir/table/_log/v${"%012d".format(oldSnap.version)}.json").exists())
   }
 
+  test("time travel: readAsOf reconstructs every retained version exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp("txlog-travel")
+    val w = new MergeWriter(spark, dir, Seq("k"))
+    w.upsert(Seq(("a", 1), ("b", 2)).toDF("k", "v"), batchId = 1)
+    val v0 = w.txLog.currentVersion()
+    w.upsert(Seq(("b", 3), ("c", 4)).toDF("k", "v"), batchId = 2)
+    val v1 = w.txLog.currentVersion()
+    w.upsert(Seq(("a", 9)).toDF("k", "v"), batchId = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(rows(w.readAsOf(v0)) == Set(("a", 1), ("b", 2)))
+    assert(rows(w.readAsOf(v1)) == Set(("a", 1), ("b", 3), ("c", 4)))
+    assert(rows(w.read()) == Set(("a", 9), ("b", 3), ("c", 4)))
+    // a vacuumed-past version fails loudly, current state unaffected
+    w.txLog.vacuum(keepVersions = 1, orphanGraceMs = 0L)
+    intercept[Exception] { w.readAsOf(v0).collect() }
+    assert(rows(w.read()) == Set(("a", 9), ("b", 3), ("c", 4)))
+  }
+
   test("corrupt data file FAILS the read loudly (never classified as empty store)") {
     val spark2 = spark
     import spark2.implicits._
