@@ -42,8 +42,8 @@ object Embeddings {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     val spark = queries.sparkSession
-    requireBounded(corpus, maxCorpus, "bruteForceTopK", "srpTopK / ivfTopK")
-    val corpusRows = corpus.select(col("id"), col("embedding")).collect()
+    val corpusRows = boundedCollect(corpus.select(col("id"), col("embedding")),
+      maxCorpus, "bruteForceTopK", "srpTopK / ivfTopK")
     val cIds = corpusRows.map(_.get(0))
     val cVecs = corpusRows.map(_.getSeq[Float](1).toArray)
     val bc = spark.sparkContext.broadcast((cIds, cVecs))
@@ -118,9 +118,9 @@ object Embeddings {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     val spark = emb.sparkSession
-    requireBounded(emb, maxCorpus, "bruteForceThresholdPairs", "srpThresholdPairs")
     val e = emb.select(col("id").cast("string"), col("embedding"))
-    val corpusRows = e.collect()
+    val corpusRows = boundedCollect(e, maxCorpus,
+      "bruteForceThresholdPairs", "srpThresholdPairs")
     val cIds = corpusRows.map(_.getString(0))
     val cVecs = corpusRows.map(_.getSeq[Float](1).toArray)
     val bc = spark.sparkContext.broadcast((cIds, cVecs))
@@ -162,9 +162,9 @@ object Embeddings {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     val spark = small.sparkSession
-    requireBounded(small, maxSmall, "broadcastThresholdJoin(small side)",
-      "srpThresholdPairs")
-    val smallRows = small.select(col("id").cast("string"), col("embedding")).collect()
+    val smallRows = boundedCollect(
+      small.select(col("id").cast("string"), col("embedding")), maxSmall,
+      "broadcastThresholdJoin(small side)", "srpThresholdPairs")
     val sIds = smallRows.map(_.getString(0))
     val sVecs = smallRows.map(_.getSeq[Float](1).toArray)
     val bc = spark.sparkContext.broadcast((sIds, sVecs))
@@ -192,18 +192,20 @@ object Embeddings {
     }(Encoders.row(outSchema))
   }
 
-  /** Loud contract check for the collect-shaped baselines: counting a
-    * LIMIT maxRows+1 slice stops early, so the probe never scans more
-    * than the cap itself, and a corpus past the cap fails with a
-    * message naming the bucketed swap instead of OOM-ing the driver.
+  /** Loud contract check for the collect-shaped baselines, fused into
+    * the collect itself (ONE job — a separate count probe would
+    * re-execute the upstream lineage, doubling e.g. a media-decode
+    * pipeline): collect at most maxRows+1 rows, fail naming the
+    * bucketed swap if the cap is crossed.
     */
-  private def requireBounded(df: DataFrame, maxRows: Int, op: String,
-                             swap: String): Unit = {
-    val n = df.select(lit(1).as("one")).limit(maxRows + 1).count()
-    require(n <= maxRows,
+  private def boundedCollect(df: DataFrame, maxRows: Int, op: String,
+                             swap: String): Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
       s"$op is the corpus-in-memory BASELINE (reference kd-tree analog, " +
         s"corpus collected + broadcast): corpus exceeds maxCorpus=$maxRows. " +
         s"Use the bucketed scale path ($swap) or raise the cap explicitly.")
+    rows
   }
 
   /** Euclidean norm of a float vector (double accumulation). */

@@ -738,6 +738,9 @@ object BinaryPipeline {
   def mediaDuplicatePairs(media: DataFrame, threshold: Double = 0.995,
                           stride: Int = 1, dim: Int = 16,
                           mode: String = "lsh"): DataFrame = {
+    // validated, not defaulted-on-typo: a caller asking for "Exact" to
+    // build recall ground truth must not silently get the approximate path
+    require(mode == "lsh" || mode == "exact", s"mode must be lsh|exact, got $mode")
     val emb = mediaEmbeddings(media, stride, dim)
     if (mode == "exact")
       graft.functions.Embeddings.bruteForceThresholdPairs(emb, threshold)

@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   * not from directory-rename discipline.
   */
 final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
+  import MergeWriter.CompactedEntryTag
 
   private val log = new TxLog(s"$path/table")
 
@@ -35,6 +36,8 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
     * distinct batch ids both land (optimistic append commit).
     */
   def upsert(batch: DataFrame, batchId: Long): Unit = {
+    require(batchId != CompactedEntryTag,
+      s"batchId $batchId is reserved for compacted entries")
     val dir = log.newDataDir()
     batch
       .withColumn("_batch", lit(batchId))
@@ -103,7 +106,12 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
         .drop("_rn")
         .withColumn("_batch", lit(maxBatch))
         .write.mode(SaveMode.Overwrite).parquet(dir.getPath)
-      if (log.commitReplace(Seq(TxEntry(log.relativize(dir), maxBatch)),
+      // the manifest ENTRY is tagged with a reserved sentinel, not
+      // maxBatch: a retried upsert of batch id == maxBatch would
+      // otherwise replaceBatch-drop the compacted all-history entry and
+      // silently wipe every other key (the _batch COLUMN inside the
+      // data keeps maxBatch for last-writer-wins ordering)
+      if (log.commitReplace(Seq(TxEntry(log.relativize(dir), CompactedEntryTag)),
           snap.version)) {
         log.vacuum(keepVersions = 1, orphanGraceMs = vacuumGraceMs)
         return
@@ -119,6 +127,14 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
   }
+}
+
+object MergeWriter {
+  /** Manifest-entry batch tag for compacted entries — outside the
+    * caller batch-id space so a retried upsert can never
+    * replaceBatch-drop the compacted history.
+    */
+  val CompactedEntryTag: Long = Long.MinValue
 }
 
 /** Flat-file report sinks (reference CSV reports,

@@ -228,12 +228,18 @@ final class TxLog(val root: String) {
     } catch {
       case _: FileAlreadyExistsException => false
       case _: UnsupportedOperationException =>
-        if (target.exists()) false
-        else {
-          try {
+        // POSIX rename REPLACES an existing target (no
+        // FileAlreadyExistsException), so check-then-move must be
+        // serialized or a concurrent committer's manifest would be
+        // silently overwritten — a JVM-wide lock makes the fallback a
+        // real CAS within one process (cross-process safety on such a
+        // filesystem requires an external lock; documented)
+        TxLog.fallbackPublishLock.synchronized {
+          if (target.exists()) false
+          else {
             Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
             true
-          } catch { case _: FileAlreadyExistsException => false }
+          }
         }
     } finally {
       Files.deleteIfExists(tmp.toPath); ()
@@ -281,4 +287,12 @@ final class TxLog(val root: String) {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
   }
+}
+
+object TxLog {
+  /** Serializes the no-hardlink publish fallback within this JVM (see
+    * tryPublish) — intentionally global: cheaper than per-root locks
+    * and the fallback path is cold.
+    */
+  private[store] val fallbackPublishLock = new Object
 }

@@ -136,7 +136,8 @@ class Round2Spec extends SparkSpecBase {
     assert(before == Set(("u1", 11), ("u2", 21), ("u3", 30)))
     w.compact(vacuumGraceMs = 0L)
     val snap = w.txLog.snapshot()
-    assert(snap.entries.size == 1 && snap.entries.head.batch == 3L,
+    assert(snap.entries.size == 1 &&
+      snap.entries.head.batch == graft.store.MergeWriter.CompactedEntryTag,
       s"history not collapsed: ${snap.entries}")
     // vacuum reclaimed the superseded data dirs: only the compacted one
     val dataDirs = Option(new java.io.File(s"$dir/table/data").listFiles())

@@ -108,6 +108,26 @@ class TxLogSpec extends SparkSpecBase {
     assert(w.read().collect().map(r => (r.getString(0), r.getInt(1))).toSet == before)
   }
 
+  test("retried upsert of the latest batch after compaction does not wipe the table") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp("txlog-retrycompact")
+    val w = new MergeWriter(spark, dir, Seq("k"))
+    w.upsert(Seq(("k1", 1)).toDF("k", "v"), batchId = 1)
+    w.upsert(Seq(("k2", 2)).toDF("k", "v"), batchId = 2)
+    w.compact(vacuumGraceMs = 0L)
+    // batch 2 is re-delivered after a crash: replaceBatch must drop only
+    // batch 2's own entry — the compacted all-history entry carries a
+    // reserved tag precisely so this retry can't wipe k1
+    w.upsert(Seq(("k2", 2)).toDF("k", "v"), batchId = 2)
+    assert(w.read().collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+      Set(("k1", 1), ("k2", 2)),
+      "retry of the compacted max batch wiped other keys")
+    intercept[IllegalArgumentException] {
+      w.upsert(Seq(("x", 0)).toDF("k", "v"), graft.store.MergeWriter.CompactedEntryTag)
+    }
+  }
+
   test("replace commit with a stale expected version fails and changes nothing") {
     val spark2 = spark
     import spark2.implicits._
