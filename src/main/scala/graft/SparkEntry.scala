@@ -191,6 +191,13 @@ object SparkEntry {
     // windows that occur more than once corpus-wide
     "q_chunk_dup" -> ((s, dir) =>
       graft.queries.Curation.chunkDupStats(documents(s, dir), chunkTokens = 20)),
+    // C4-style duplicate-span REMOVAL with text reconstruction: spans
+    // occurring >=2 times corpus-wide survive only at their first
+    // (doc_id, span_idx) occurrence; kept_text md5-compared cross-engine
+    "q_span_dedup" -> ((s, dir) =>
+      graft.queries.Curation.removeDuplicateSpans(documents(s, dir), spanTokens = 20)
+        .select(col("doc_id"), col("n_spans"), col("n_removed"),
+          md5(col("kept_text").cast("binary")).as("kept_md5"))),
     // suffix-array exact-substring pass over low-threshold candidates
     "q_substring_containment" -> ((s, dir) => {
       val cands = Dedup.exactJaccardPairsPrefix(docs(s, dir), cfg.copy(threshold = 0.3))
@@ -650,6 +657,22 @@ object SparkEntry {
          |  round(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END)*1.0/count(*), 6)
          |    AS dup_chunk_frac
          |FROM ch JOIN occ USING (chunk) GROUP BY 1""".stripMargin),
+    "q_span_dedup" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+         |pos AS (SELECT doc_id, unnest(tok) AS tk, generate_subscripts(tok, 1) AS p FROM t),
+         |sp AS (SELECT doc_id, CAST(floor((p-1)/20) AS BIGINT) AS si,
+         |       string_agg(tk, ' ' ORDER BY p) AS span FROM pos GROUP BY 1, 2),
+         |r AS (SELECT doc_id, si, span,
+         |      count(*) OVER (PARTITION BY span) AS n_occ,
+         |      row_number() OVER (PARTITION BY span ORDER BY doc_id, si) AS rn FROM sp),
+         |kept AS (SELECT * FROM r WHERE n_occ < 2 OR rn = 1),
+         |tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1),
+         |k AS (SELECT doc_id, count(*) AS n_kept,
+         |      md5(string_agg(span, ' ' ORDER BY si)) AS kept_md5 FROM kept GROUP BY 1)
+         |SELECT tot.doc_id, tot.n_spans,
+         |       tot.n_spans - coalesce(k.n_kept, 0) AS n_removed,
+         |       coalesce(k.kept_md5, md5('')) AS kept_md5
+         |FROM tot LEFT JOIN k USING (doc_id)""".stripMargin),
     "q_substring_containment" ->
       (s"WITH ${pairsCteAt(0.3)} SELECT doc_id_a, doc_id_b, " +
         "(strpos(CASE WHEN len(ta.text) >= len(tb.text) THEN ta.text ELSE tb.text END, " +

@@ -203,6 +203,54 @@ object Curation {
     if (numerator == 65536) "g" else f"$numerator%04x"
   }
 
+  /** C4/RefinedWeb-style duplicate-SPAN removal: fixed-width token
+    * spans that occur >= minOcc times corpus-wide are REMOVED from
+    * every document except their first occurrence (ordered by
+    * (id, span index) — the keeper convention), and each document's
+    * text is reconstructed from its surviving spans in order. This is
+    * the removal counterpart of [[chunkDupStats]] (which only scores):
+    * the C4 pipeline drops repeated three-sentence spans the same way.
+    *
+    * Returns (id, n_spans, n_removed, kept_text) for EVERY input doc —
+    * a document whose spans were all removed keeps an empty string.
+    *
+    * Scale shape: span chunking is narrow; the occurrence count + first
+    * occurrence run in ONE aggregate keyed on the 8-byte span hash
+    * (map-side combine collapses hot boilerplate spans before the
+    * wire); the keeper filter is a semi-join-shaped join back on the
+    * same key; reconstruction is one groupBy(id) with a bounded
+    * per-doc array sort. Grouping on the hash admits 2^-64 collisions
+    * (same documented trade as chunkDupStats).
+    */
+  def removeDuplicateSpans(docs: DataFrame, spanTokens: Int = 20,
+                           minOcc: Int = 2,
+                           idCol: String = "doc_id"): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nSpans = ceil(size(toks).cast("double") / spanTokens).cast("int")
+    val spans = docs.select(col(idCol),
+        posexplode(transform(sequence(lit(0), greatest(nSpans, lit(1)) - 1),
+          i => concat_ws(" ", slice(toks, i * spanTokens + 1, lit(spanTokens))))))
+      .toDF(idCol, "span_idx", "span")
+      .withColumn("h", xxhash64(col("span")))
+    val occ = spans.groupBy("h").agg(
+      count(lit(1)).as("n_occ"),
+      min(struct(col(idCol).as("kid"), col("span_idx").as("kidx"))).as("first"))
+    val kept = spans.join(occ, "h")
+      .where(col("n_occ") < minOcc ||
+        (col(idCol) === col("first.kid") && col("span_idx") === col("first.kidx")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("span_idx"), col("span")))),
+          s => s("span"))).as("kept_text"))
+    docs.select(col(idCol), greatest(nSpans, lit(1)).cast("long").as("n_spans"))
+      .join(kept, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        col("n_spans"),
+        (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** SemDeDup-style semantic deduplication over an embedding table
     * (id, embedding float[]): pairs with cosine >= threshold via the
     * SRP-LSH bucket join (collect-free — recall at dedup-grade

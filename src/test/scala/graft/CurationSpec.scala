@@ -341,6 +341,31 @@ class CurationSpec extends SparkSpecBase {
       "a salted hot key still materializes its full bucket in one task")
   }
 
+  test("removeDuplicateSpans: first occurrence survives, text reconstructed in order") {
+    val spark2 = spark
+    import spark2.implicits._
+    // spanTokens=2 -> doc 1: [a b][c d][e f]; doc 2: [c d][x y];
+    // doc 3: [c d][a b][z]  — span "c d" occurs 3x (keeper doc1@1),
+    // "a b" occurs 2x (keeper doc1@0); trailing partial span "z" unique
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "c d x y"),
+      (3L, "c d a b z")
+    ).toDF("doc_id", "text")
+    val got = Curation.removeDuplicateSpans(docs, spanTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 3L, 0L, "a b c d e f"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 3L, 2L, "z")), s"got $got")
+    // a doc that is ALL duplicates reconstructs to the empty string
+    val docs2 = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got2 = Curation.removeDuplicateSpans(docs2, spanTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    assert(got2 == Set((1L, 0L, "a b"), (2L, 1L, "")))
+  }
+
   test("semanticDedup: planted duplicate embeddings collapse to one quality-ranked keeper") {
     val spark2 = spark
     import spark2.implicits._
