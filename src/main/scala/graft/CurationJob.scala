@@ -58,10 +58,14 @@ object CurationJob {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: CurationJob <docsPath> <workDir> [benchPath|-] [heldoutNumerator]")
+      "usage: CurationJob <docsPath> <workDir> [benchPath|-] " +
+        "[heldoutNumerator] [spanTokens]")
     val Array(docsPath, workDir) = args.take(2)
     val benchPath = args.lift(2).filterNot(_ == "-")
     val heldoutNumerator = args.lift(3).map(_.toInt).getOrElse(8192)
+    // >0 enables C4-style duplicate-span removal of that span width;
+    // the curated table then carries the REWRITTEN text
+    val spanTokens = args.lift(4).map(_.toInt).getOrElse(0)
 
     val builder = SparkSession.builder()
       .appName("graft-curation")
@@ -70,15 +74,21 @@ object CurationJob {
       builder.master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try println(run(spark, docsPath, workDir, benchPath, heldoutNumerator))
+    try println(run(spark, docsPath, workDir, benchPath, heldoutNumerator,
+      spanTokens))
     finally spark.stop()
   }
 
   /** The funnel itself (session-agnostic — tests drive it directly);
-    * returns the metrics JSON line that `main` prints.
+    * returns the metrics JSON line that `main` prints. `spanTokens > 0`
+    * inserts the C4-style duplicate-span removal stage after the
+    * quality filters: surviving docs get their text REWRITTEN with
+    * corpus-wide repeated spans removed (first occurrence kept), and
+    * the curated table carries that text plus the removal count.
     */
   def run(spark: SparkSession, docsPath: String, workDir: String,
-          benchPath: Option[String], heldoutNumerator: Int): String = {
+          benchPath: Option[String], heldoutNumerator: Int,
+          spanTokens: Int = 0): String = {
     val cfg = DedupConfig()
     // the resumable stages key their checkpoints by configTag only, so
     // a workDir must never be shared across corpora: a marker pins the
@@ -142,12 +152,30 @@ object CurationJob {
     }
     val n4 = afterDecontam.count()
 
+    // 4b. optional C4-style duplicate-span removal over the survivors:
+    // the rewrite runs AFTER dedup/quality (don't pay span hashing for
+    // docs the funnel drops) and the curated table carries the
+    // rewritten text
+    val (afterSpans, nSpansRemoved) =
+      if (spanTokens <= 0) (afterDecontam, -1L)
+      else {
+        val rewritten = Curation.removeDuplicateSpans(
+          afterDecontam, spanTokens, idCol = "id")
+        val joined = afterDecontam.drop("text")
+          .join(rewritten.select(col("id"), col("kept_text").as("text"),
+            col("n_removed")), Seq("id"))
+          .localCheckpoint(true)
+        (joined,
+          joined.agg(coalesce(sum(col("n_removed")), lit(0L))).head.getLong(0))
+      }
+
     // 5. leakage-free split keyed by dup cluster
     val split = Curation.leakageFreeSplit(
-      afterDecontam.select(col("id")), clusters, heldoutNumerator, idCol = "id")
+      afterSpans.select(col("id")), clusters, heldoutNumerator, idCol = "id")
       .select(col("id"), col("split"))
-    val curated = afterDecontam
-      .select(col("id"), col("cluster_id"), col("quality"))
+    val curated = afterSpans
+      .select(Seq(col("id"), col("cluster_id"), col("quality")) ++
+        (if (spanTokens > 0) Seq(col("text"), col("n_removed")) else Nil): _*)
       .join(split, Seq("id"))
 
     val outDir = s"$workDir/curated/tag=${cfg.configTag}"
@@ -157,9 +185,11 @@ object CurationJob {
     val nTrain = persisted.where(col("split") === "train").count()
 
     val wall = (System.currentTimeMillis() - t0) / 1000.0
+    val spanField =
+      if (spanTokens > 0) s""""span_removed":$nSpansRemoved,""" else ""
     s"""{"job":"graft-curation","config_tag":"${cfg.configTag}","docs":$n0,""" +
       s""""after_exact":$n1,"after_neardup":$n2,"after_quality":$n3,""" +
-      s""""after_decontam":$n4,"train":$nTrain,"heldout":$nHeldout,""" +
+      s""""after_decontam":$n4,$spanField"train":$nTrain,"heldout":$nHeldout,""" +
       s""""wall_sec":$wall,"docs_per_sec":${n0 / wall}}"""
   }
 }

@@ -476,6 +476,26 @@ class CurationSpec extends SparkSpecBase {
       curated.orderBy("id").collect().toSeq)
   }
 
+  test("CurationJob with spanTokens: curated table carries span-rewritten text") {
+    import graft.pipeline.DedupConfig
+    val work = java.nio.file.Files.createTempDirectory("graft-curation-span").toString
+    val docsPath = s"$sfDir/documents.parquet"
+    val metrics = CurationJob.run(spark, docsPath, work, None, 8192, spanTokens = 20)
+    assert(metrics.contains("\"span_removed\":"), metrics)
+    val curated = spark.read.parquet(
+      s"$work/curated/tag=${DedupConfig().configTag}")
+    assert(curated.columns.contains("text") && curated.columns.contains("n_removed"))
+    // rewritten text is consistent with the removal count: docs with
+    // n_removed = 0 keep their original text verbatim
+    val orig = spark.read.parquet(docsPath)
+      .select(col("doc_id").as("id"), col("text").as("orig"))
+    val unchanged = curated.where(col("n_removed") === 0).join(orig, "id")
+    assert(unchanged.where(col("text") =!= col("orig")).count() == 0)
+    // and any doc with removals is strictly shorter than its original
+    val removedRows = curated.where(col("n_removed") > 0).join(orig, "id")
+    assert(removedRows.where(length(col("text")) >= length(col("orig"))).count() == 0)
+  }
+
   test("SeenFilter.notSeen == plain anti-join (bloom split is exact)") {
     val spark2 = spark
     import spark2.implicits._
