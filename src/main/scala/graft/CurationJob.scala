@@ -15,7 +15,7 @@ import graft.queries.Curation
   *   cluster-keyed train/heldout split -> curated table
   *
   *   spark-submit --class graft.CurationJob app.jar <docsPath> <workDir> \
-  *     [benchPath|-] [heldoutNumerator=8192]
+  *     [benchPath|-] [heldoutNumerator=8192] [spanTokens=0]
   *
   * Every stage count is reported in one funnel JSON line (the
   * reference's count-back style, `generate_matches.py:57-62`); the
@@ -178,7 +178,11 @@ object CurationJob {
         (if (spanTokens > 0) Seq(col("text"), col("n_removed")) else Nil): _*)
       .join(split, Seq("id"))
 
-    val outDir = s"$workDir/curated/tag=${cfg.configTag}"
+    // the span-removal variant changes the curated SCHEMA (adds
+    // text/n_removed), so it must not share a tag path with the plain
+    // variant — the stage config is part of the output identity
+    val variant = if (spanTokens > 0) s"-span$spanTokens" else ""
+    val outDir = s"$workDir/curated/tag=${cfg.configTag}$variant"
     curated.write.mode(SaveMode.Overwrite).parquet(outDir)
     val persisted: DataFrame = spark.read.parquet(outDir)
     val nHeldout = persisted.where(col("split") === "heldout").count()

@@ -647,7 +647,7 @@ object SparkEntry {
     // chunk occurrences grouped on chunk TEXT (the operator groups on
     // xxhash64(chunk) — identical counts modulo 2^-64 collisions)
     "q_chunk_dup" ->
-      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      ("""WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tok FROM documents),
          |pos AS (SELECT doc_id, unnest(tok) AS tk,
          |        generate_subscripts(tok, 1) AS p FROM t),
          |ch AS (SELECT doc_id, CAST(floor((p-1)/20) AS BIGINT) AS ci,
@@ -658,7 +658,7 @@ object SparkEntry {
          |    AS dup_chunk_frac
          |FROM ch JOIN occ USING (chunk) GROUP BY 1""".stripMargin),
     "q_span_dedup" ->
-      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      ("""WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tok FROM documents),
          |pos AS (SELECT doc_id, unnest(tok) AS tk, generate_subscripts(tok, 1) AS p FROM t),
          |sp AS (SELECT doc_id, CAST(floor((p-1)/20) AS BIGINT) AS si,
          |       string_agg(tk, ' ' ORDER BY p) AS span FROM pos GROUP BY 1, 2),

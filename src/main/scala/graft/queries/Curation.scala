@@ -160,14 +160,9 @@ object Curation {
   def chunkDupStats(docs: DataFrame, chunkTokens: Int,
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val chunks = docs.select(col(idCol),
-      explode(transform(
-        sequence(lit(0), ceil(size(toks).cast("double") / chunkTokens)
-          .cast("int") - 1),
-        i => xxhash64(array_join(
-          slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " "))))
-        .as("chunk_h"))
+    val chunks = docs
+      .select(col(idCol), explode(spanArray(textCol, chunkTokens)).as("chunk"))
+      .select(col(idCol), xxhash64(col("chunk")).as("chunk_h"))
     val occ = chunks.groupBy("chunk_h").agg(count(lit(1)).as("n_occ"))
     chunks.join(occ, "chunk_h")
       .groupBy(col(idCol))
@@ -203,6 +198,21 @@ object Curation {
     if (numerator == 65536) "g" else f"$numerator%04x"
   }
 
+  /** Fixed-width token spans of `textCol` as one array expression —
+    * the shared windowing core of [[chunkDupStats]] (scoring) and
+    * [[removeDuplicateSpans]] (removal), so the two can never diverge.
+    * Null text coalesces to the empty string, which spans to exactly
+    * one empty span (Spark's split always returns >= 1 element), so
+    * every input doc yields at least one span row on BOTH engines of
+    * the oracle pair.
+    */
+  private def spanArray(textCol: String, spanTokens: Int): org.apache.spark.sql.Column = {
+    val toks = split(coalesce(col(textCol), lit("")), " ")
+    val n = ceil(size(toks).cast("double") / spanTokens).cast("int")
+    transform(sequence(lit(0), n - 1),
+      i => concat_ws(" ", slice(toks, i * spanTokens + 1, lit(spanTokens))))
+  }
+
   /** C4/RefinedWeb-style duplicate-SPAN removal: fixed-width token
     * spans that occur >= minOcc times corpus-wide are REMOVED from
     * every document except their first occurrence (ordered by
@@ -224,12 +234,10 @@ object Curation {
     */
   def removeDuplicateSpans(docs: DataFrame, spanTokens: Int = 20,
                            minOcc: Int = 2,
-                           idCol: String = "doc_id"): DataFrame = {
-    val toks = split(col("text"), " ")
-    val nSpans = ceil(size(toks).cast("double") / spanTokens).cast("int")
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
     val spans = docs.select(col(idCol),
-        posexplode(transform(sequence(lit(0), greatest(nSpans, lit(1)) - 1),
-          i => concat_ws(" ", slice(toks, i * spanTokens + 1, lit(spanTokens))))))
+        posexplode(spanArray(textCol, spanTokens)))
       .toDF(idCol, "span_idx", "span")
       .withColumn("h", xxhash64(col("span")))
     val occ = spans.groupBy("h").agg(
@@ -243,7 +251,8 @@ object Curation {
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("span_idx"), col("span")))),
           s => s("span"))).as("kept_text"))
-    docs.select(col(idCol), greatest(nSpans, lit(1)).cast("long").as("n_spans"))
+    docs.select(col(idCol),
+        size(spanArray(textCol, spanTokens)).cast("long").as("n_spans"))
       .join(kept, Seq(idCol), "left_outer")
       .select(col(idCol),
         col("n_spans"),

@@ -482,8 +482,10 @@ class CurationSpec extends SparkSpecBase {
     val docsPath = s"$sfDir/documents.parquet"
     val metrics = CurationJob.run(spark, docsPath, work, None, 8192, spanTokens = 20)
     assert(metrics.contains("\"span_removed\":"), metrics)
+    // the span variant writes under its own tag suffix: its schema
+    // differs from the plain curated table, so the paths must not mix
     val curated = spark.read.parquet(
-      s"$work/curated/tag=${DedupConfig().configTag}")
+      s"$work/curated/tag=${DedupConfig().configTag}-span20")
     assert(curated.columns.contains("text") && curated.columns.contains("n_removed"))
     // rewritten text is consistent with the removal count: docs with
     // n_removed = 0 keep their original text verbatim
@@ -491,9 +493,13 @@ class CurationSpec extends SparkSpecBase {
       .select(col("doc_id").as("id"), col("text").as("orig"))
     val unchanged = curated.where(col("n_removed") === 0).join(orig, "id")
     assert(unchanged.where(col("text") =!= col("orig")).count() == 0)
-    // and any doc with removals is strictly shorter than its original
+    // a doc with removals is never LONGER, and strictly shorter when
+    // its original was non-empty (two empty-text docs legitimately
+    // dedup to equal-length empty strings)
     val removedRows = curated.where(col("n_removed") > 0).join(orig, "id")
-    assert(removedRows.where(length(col("text")) >= length(col("orig"))).count() == 0)
+    assert(removedRows.where(length(col("text")) > length(col("orig"))).count() == 0)
+    assert(removedRows.where(length(col("orig")) > 0 &&
+      length(col("text")) >= length(col("orig"))).count() == 0)
   }
 
   test("SeenFilter.notSeen == plain anti-join (bloom split is exact)") {
