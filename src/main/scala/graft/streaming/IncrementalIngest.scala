@@ -66,10 +66,18 @@ object IncrementalIngest {
     *                    many store commits accumulate beyond it (the
     *                    delta anti-join stays exact regardless — this
     *                    only bounds the residue volume)
+    * @param trigger     AvailableNow (default — drain what exists and
+    *                    stop, the testable batch-ish mode) or
+    *                    `Trigger.ProcessingTime("600 seconds")` for the
+    *                    fork's continuous time-cadence deployment
+    *                    (ingest window = trigger interval; flush/match
+    *                    cadences then multiply it via
+    *                    matchEvery/compactEvery)
     */
   def start(pagesStream: DataFrame, cfg: DedupConfig, workDir: String,
             checkpointDir: String, matchEvery: Int = 1, compactEvery: Int = 0,
-            bloomRebuildEvery: Int = 8): StreamingQuery = {
+            bloomRebuildEvery: Int = 8,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(matchEvery >= 1, "matchEvery must be >= 1")
     val state = new IngestState
     pagesStream
@@ -77,7 +85,7 @@ object IncrementalIngest {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, cfg, workDir,
           matchEvery, compactEvery, bloomRebuildEvery, state)

@@ -212,6 +212,34 @@ class ResumeStreamingAnnSpec extends SparkSpecBase {
     assert(residue <= 25, s"bloom residue too large to claim join bypass: $residue/500")
   }
 
+  test("continuous ProcessingTime trigger: same stores, same pair set as AvailableNow") {
+    val spark2 = spark
+    import spark2.implicits._
+    val (pages, _) = SynthCorpus.generate(spark, seed = 16L, nBase = 60, dupRate = 0.3)
+    val rows = pages.select("url", "text").as[(String, String)].collect().toSeq
+    val workDir = tmpDir("graft-cont")
+    val ckDir = tmpDir("graft-cont-ck")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = IncrementalIngest.start(
+      mem.toDF().toDF("url", "text"), cfg, workDir, ckDir,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = IncrementalIngest.pairs(spark, workDir, cfg)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val batch = Dedup.pairs(Dedup.fromPages(pages), cfg)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamed == batch, "continuous-trigger pairs diverge from batch pipeline")
+    val sigs = IncrementalIngest.signatures(spark, workDir, cfg)
+    assert(sigs.select("id").distinct().count() == sigs.count())
+  }
+
   test("micro-batch RETRY (same batchId re-run) loses no signatures, bands or pairs") {
     val spark2 = spark
     import spark2.implicits._
