@@ -119,4 +119,29 @@ class EdgeCaseSpec extends SparkSpecBase {
       .toSet
     assert(streamed == batch)
   }
+
+  test("TemplateSearch positions: exact hit, fuzzy hit without substring, sub-k template") {
+    val spark2 = spark
+    import spark2.implicits._
+    val templates = Seq(
+      (1L, "b c d e"), // 2 shingles at k=3: "b c d", "c d e"
+      (2L, "xx")       // shorter than k -> no shingles -> coverage 0
+    ).toDF("template_id", "text")
+    val docs = Seq(
+      (10L, "a b c d e f"), // exact substring hit
+      (11L, "z b c d w q")  // shares "b c d" only: fuzzy, NOT contained
+    ).toDF("id", "text")
+    val got = graft.queries.TemplateSearch.search(templates, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3), r.getLong(4), r.getLong(5))).toSet
+    // doc 10: full coverage, contained at char offset 3 ("a " prefix),
+    // first shared shingle starts at token 2 ("b c d")
+    // doc 11: coverage 1/2, no exact substring -> match_pos 0 (strpos
+    // semantics), fuzzy match STARTS at token 2
+    assert(got == Set(
+      (1L, 10L, 1.0, true, 3L, 2L),
+      (1L, 11L, 0.5, false, 0L, 2L)), s"got $got")
+    // the sub-k template matches nothing (empty shingle set -> coverage 0)
+    assert(!got.exists(_._1 == 2L))
+  }
 }
