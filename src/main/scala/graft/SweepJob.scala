@@ -21,7 +21,7 @@ object SweepJob {
 
   final case class Cell(shingleK: Int, threshold: Double, precision: Double,
                         recall: Double, f1: Double, mAP: Double,
-                        nPairs: Long, wallSec: Double)
+                        mapTrials: Seq[Double], nPairs: Long, wallSec: Double)
 
   /** Ground-truth pair set at the contract threshold: labeled
     * (variant, original) pairs whose word-3-gram jaccard >= tau
@@ -51,8 +51,16 @@ object SweepJob {
     direct.union(sibPairs).distinct()
   }
 
-  /** Score one config cell against the truth set. */
-  def score(docs: DataFrame, truth: DataFrame, cfg: DedupConfig): Cell = {
+  /** Score one config cell against the truth set. mAP follows the
+    * reference's resampled-trials protocol (`evaluate.py:97-106`:
+    * `for i in range(5): results.append(get_result(...))` per cell):
+    * each trial scores a deterministic ~80% hash-resample of the query
+    * set, and the cell reports every per-trial value plus their mean —
+    * a cell whose ranking quality is an artifact of a few queries shows
+    * it as trial spread instead of hiding in a single number.
+    */
+  def score(docs: DataFrame, truth: DataFrame, cfg: DedupConfig,
+            trials: Int = 5): Cell = {
     val t0 = System.nanoTime()
     val pairs = Dedup.pairsMaterialized(docs, cfg)
     val nPairs = pairs.count()
@@ -60,7 +68,8 @@ object SweepJob {
     val (p, r) = Metrics.pairPrecisionRecall(pairs, truth)
     val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
     // mAP of the jaccard-ranked neighbor lists (evaluate.py:84-113
-    // protocol): both directions, rank by similarity desc
+    // protocol): both directions, rank by similarity desc; materialized
+    // once, resampled per trial
     import org.apache.spark.sql.expressions.Window
     val both = pairs.select(col("id_a").as("query_id"),
         col("id_b").as("neighbor_id"), col("jaccard"))
@@ -69,11 +78,19 @@ object SweepJob {
       .orderBy(col("jaccard").desc, col("neighbor_id").asc)
     val ranked = both.withColumn("rank", row_number().over(w))
       .select("query_id", "neighbor_id", "rank")
+      .localCheckpoint(true)
     val truthBoth = truth.select(col("id_a").as("query_id"),
         col("id_b").as("neighbor_id"))
       .union(truth.select(col("id_b"), col("id_a")))
-    val map = Metrics.meanAveragePrecision(ranked, truthBoth)
-    Cell(cfg.shingleK, cfg.threshold, p, r, f1, map, nPairs, wall)
+      .localCheckpoint(true)
+    // trial t keeps queries with xxhash64(query_id, t) % 5 != 0 — a
+    // deterministic 4/5 resample, independent across trials
+    def sampled(df: DataFrame, t: Int): DataFrame =
+      df.where(pmod(xxhash64(col("query_id"), lit(t)), lit(5)) =!= 0)
+    val mapTrials = (0 until trials).map(t =>
+      Metrics.meanAveragePrecision(sampled(ranked, t), sampled(truthBoth, t)))
+    val map = mapTrials.sum / mapTrials.size
+    Cell(cfg.shingleK, cfg.threshold, p, r, f1, map, mapTrials, nPairs, wall)
   }
 
   def main(args: Array[String]): Unit = {
@@ -102,7 +119,9 @@ object SweepJob {
     val json = cells.map { c =>
       s"""{"shingleK":${c.shingleK},"threshold":${c.threshold},""" +
         s""""precision":${c.precision},"recall":${c.recall},"f1":${c.f1},""" +
-        s""""mAP":${c.mAP},"n_pairs":${c.nPairs},"wall_sec":${c.wallSec}}"""
+        s""""mAP":${c.mAP},""" +
+        s""""mAP_trials":${c.mapTrials.mkString("[", ",", "]")},""" +
+        s""""n_pairs":${c.nPairs},"wall_sec":${c.wallSec}}"""
     }.mkString("[\n  ", ",\n  ", "\n]")
     val best = cells.maxBy(_.f1)
     val out = s"""{"metric":"config_sweep","n_base":$nBase,""" +

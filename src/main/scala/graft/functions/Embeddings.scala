@@ -363,7 +363,16 @@ object Embeddings {
   def ivfTopK(emb: DataFrame, k: Int, nCells: Int = 0, nProbe: Int = 2,
               iters: Int = 5, sampleCap: Int = 10000): DataFrame = {
     val cells = if (nCells > 0) nCells else ivfCellCount(emb.count(), sampleCap)
-    val cents = trainIvfCentroids(emb, cells, iters, sampleCap)
+    ivfTopKWith(emb, k, trainIvfCentroids(emb, cells, iters, sampleCap), nProbe)
+  }
+
+  /** IVF probe phase against an already-trained quantizer — the shape
+    * [[ivfTopK]] compiles to after training; exposed so a persisted
+    * centroid set ([[IvfCentroidStore]]) skips the per-invocation
+    * `count()` + driver Lloyd entirely.
+    */
+  def ivfTopKWith(emb: DataFrame, k: Int, cents: Array[Array[Float]],
+                  nProbe: Int = 2): DataFrame = {
     // queries probe nProbe cells; corpus vectors live in their single
     // nearest cell — candidates = pairs sharing a probed cell
     val q = emb.select(col("id").as("query_id"), col("embedding").as("qe"),
@@ -379,6 +388,20 @@ object Embeddings {
       .withColumn("cosine", cosine(col("qe"), col("ne")))
     topKRanked(cands, k)
   }
+
+  /** [[ivfTopK]] with a train-once quantizer: centroids come from
+    * [[IvfCentroidStore.loadOrTrain]] under `(storeDir, tag)` — the
+    * first invocation trains and persists, every later one (same JVM or
+    * a new one) reuses. The TAG names the corpus version + training
+    * params (same contract as the tensor-store config tag): reusing a
+    * tag across different corpora is a caller error.
+    */
+  def ivfTopKCached(emb: DataFrame, k: Int, storeDir: String, tag: String,
+                    nCells: Int = 0, nProbe: Int = 2, iters: Int = 5,
+                    sampleCap: Int = 10000): DataFrame =
+    ivfTopKWith(emb, k,
+      IvfCentroidStore.loadOrTrain(emb, storeDir, tag, nCells, iters, sampleCap),
+      nProbe)
 
   /** SCALE.md §5 cell-sizing rule: nCells ≈ √n (candidate volume per
     * query is (nProbe/nCells)·n, so √n balances probe cost against cell
@@ -433,4 +456,65 @@ object Embeddings {
       .select("id_a", "id_b", "cosine")
       .dropDuplicates("id_a", "id_b")
   }
+}
+
+/** Tag-stamped persisted IVF quantizer (the reference's train-once
+  * model-asset pattern: features are extracted once and reused,
+  * `ray_extract_features.py` skip-if-done semantics, applied to the ANN
+  * index). Backed by a [[graft.store.TxLog]] table for atomic publish —
+  * a crashed training run never leaves a half-written centroid set —
+  * plus an in-JVM memo so repeated queries in one session skip even the
+  * parquet read. Training is deterministic
+  * ([[Embeddings.trainIvfCentroids]]), so a cache hit is bit-identical
+  * to a fresh train.
+  */
+object IvfCentroidStore {
+  import graft.store.{TxEntry, TxLog}
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+
+  /** Centroids for `(storeDir, tag)`: memo hit, else committed store
+    * read, else train + atomic publish. Concurrent first-callers may
+    * both train (deterministic, so both commits carry identical bytes;
+    * the TxLog append keeps exactly one readable winner per entry set —
+    * we read our own result either way).
+    */
+  def loadOrTrain(emb: DataFrame, storeDir: String, tag: String,
+                  nCells: Int = 0, iters: Int = 5,
+                  sampleCap: Int = 10000): Array[Array[Float]] = {
+    val key = s"$storeDir|$tag"
+    val hit = memo.get(key)
+    if (hit != null) return hit
+    val spark = emb.sparkSession
+    val log = new TxLog(s"$storeDir/tag=$tag")
+    val cents = log.read(spark) match {
+      case Some(df) =>
+        df.select(col("cell"), col("vec")).collect()
+          .sortBy(_.getInt(0))
+          .map(_.getSeq[Float](1).toArray)
+      case None =>
+        val cells =
+          if (nCells > 0) nCells
+          else Embeddings.ivfCellCount(emb.count(), sampleCap)
+        val trained = Embeddings.trainIvfCentroids(emb, cells, iters, sampleCap)
+        val dir = log.newDataDir()
+        import spark.implicits._
+        trained.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+          .toDF("cell", "vec")
+          .coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(dir.getPath)
+        // replaceBatch: a concurrent first-caller's identical commit is
+        // replaced, not duplicated — the table always holds ONE entry
+        log.commitAppend(Seq(TxEntry(log.relativize(dir), 0L)),
+          replaceBatch = Some(0L), op = "centroids"): Unit
+        trained
+    }
+    memo.put(key, cents)
+    cents
+  }
+
+  /** Drop the in-JVM memo (tests / forced retrain after store wipe). */
+  def clearMemo(): Unit = memo.clear()
 }

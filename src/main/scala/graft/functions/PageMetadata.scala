@@ -35,6 +35,18 @@ object PageMetadata {
     extractOrNull(html(htmlBytes),
       s"""(?is)<meta\\s+name=["']$name["']\\s+content=["']([^"']*)["']""")
 
+  def metaProperty(htmlBytes: Column, prop: String): Column =
+    extractOrNull(html(htmlBytes),
+      s"""(?is)<meta\\s+property=["']$prop["']\\s+content=["']([^"']*)["']""")
+
+  /** Numeric meta content -> long, null on absent/garbage (ANSI-safe:
+    * the cast only ever sees digit strings).
+    */
+  private def numericOrNull(v: Column): Column = {
+    val digits = regexp_extract(coalesce(v, lit("")), """^(\d{1,9})$""", 1)
+    when(length(digits) > 0, digits.cast("long"))
+  }
+
   def charset(htmlBytes: Column): Column =
     extractOrNull(html(htmlBytes), """(?is)<meta[^>]*charset=["']?([\w-]+)""")
 
@@ -50,6 +62,10 @@ object PageMetadata {
     * OpenGraph meta (or a `date` meta), parsed as an ISO-8601 UTC
     * instant. Absent tag OR unparseable content -> null, exactly like
     * a missing/garbled EXIF date — `try_to_timestamp` never throws.
+    * The trailing offset is PARSED (`XXX`, which accepts `Z`), not
+    * treated as a literal — the UTC contract holds regardless of
+    * `spark.sql.session.timeZone`, so external consumers without the
+    * entrypoints' UTC pin still get the correct instant.
     */
   def publishedTs(htmlBytes: Column): Column = {
     val raw = coalesce(
@@ -57,15 +73,68 @@ object PageMetadata {
         """(?is)<meta\s+property=["']article:published_time["']\s+content=["']([^"']*)["']"""),
       extractOrNull(html(htmlBytes),
         """(?is)<meta\s+name=["']date["']\s+content=["']([^"']*)["']"""))
-    try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ssXXX"))
+  }
+
+  /** Last-modification timestamp (`General_File_Modified_Date` analog,
+    * `db/schema.py:121`): `article:modified_time` OpenGraph property or
+    * a `last-modified` meta, parsed with the same offset-aware UTC
+    * contract as [[publishedTs]].
+    */
+  def modifiedTs(htmlBytes: Column): Column = {
+    val raw = coalesce(
+      metaProperty(htmlBytes, "article:modified_time"),
+      metaContent(htmlBytes, "last-modified"))
+    try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ssXXX"))
+  }
+
+  /** `<!DOCTYPE xxx>` root keyword (`General_Format_Commercial` analog —
+    * the container format name).
+    */
+  def doctype(htmlBytes: Column): Column =
+    extractOrNull(html(htmlBytes), """(?is)^\s*<!DOCTYPE\s+(\w+)""")
+
+  /** One meta-tag regex drives the full-blob map: every
+    * `<meta name|property="k" content="v">` pair, key lowercased,
+    * FIRST occurrence wins (duplicate keys would make
+    * `map_from_entries` throw under ANSI).
+    */
+  private val metaTagRe =
+    """(?is)<meta\s+(?:name|property)=["']([^"']+)["']\s+content=["']([^"']*)["']"""
+
+  /** The `Json_full_exif` analog (`db/schema.py:138`): ALL meta tags as
+    * a queryable MAP(STRING, STRING) — typed columns above are the
+    * curated view, this is the lossless blob (`element_at(meta_all,
+    * 'og:type')` etc.).
+    */
+  def metaAll(htmlBytes: Column): Column = {
+    val s = html(htmlBytes)
+    val tags = regexp_extract_all(s, lit(metaTagRe), lit(0))
+    val entries = transform(tags, t => struct(
+      lower(regexp_extract(t, metaTagRe, 1)).as("key"),
+      regexp_extract(t, metaTagRe, 2).as("value")))
+    val keys = transform(entries, e => e.getField("key"))
+    // first-wins key dedup: keep entry i iff its key is absent from the
+    // i-entry prefix (meta tags per page are ~dozens, so O(m^2) locally
+    // is noise next to the regex scan)
+    val deduped = filter(entries, (e, i) =>
+      array_position(slice(keys, lit(1), i), e.getField("key")) === 0)
+    map_from_entries(deduped)
   }
 
   private def countTag(s: Column, tag: String): Column =
     size(regexp_extract_all(s, lit(s"(?is)<$tag[\\s>]"), lit(0))).cast("long")
 
-  /** pages(url, html, ...) -> typed metadata columns per url. */
+  /** pages(url, html, ...) -> typed metadata columns per url: the full
+    * 26+-typed-column analog of the reference exif table
+    * (`db/schema.py:105-138` — string/float/datetime classes all
+    * represented) plus the `meta_all` blob map (`Json_full_exif`).
+    * Still one declarative narrow projection over the scan — regex +
+    * HOF expressions, no UDFs, no shuffle.
+    */
   def extract(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
     val s = html(col(htmlCol))
+    val txt = TextFunctions.extractText(col(htmlCol))
     pages.select(
       col("url"),
       title(col(htmlCol)).as("title"),
@@ -85,6 +154,35 @@ object PageMetadata {
       (size(regexp_extract_all(s, lit("(?is)<style[\\s>]"), lit(0))) > 0)
         .as("has_style"),
       length(s).cast("long").as("html_len"),
-      length(TextFunctions.extractText(col(htmlCol))).cast("long").as("text_len"))
+      length(txt).cast("long").as("text_len"),
+      // --- file/container class (General_FileSize / FileExtension /
+      //     Format_Commercial analogs) ---
+      length(col(htmlCol)).cast("long").as("file_size"), // raw BYTES
+      extractOrNull(col("url"),
+        """\.([A-Za-z0-9]{1,8})(?:[?#].*)?$""").as("url_ext"),
+      doctype(col(htmlCol)).as("doctype"),
+      metaContent(col(htmlCol), "generator").as("generator"),
+      // --- date class (File_Modified_Date analog) ---
+      modifiedTs(col(htmlCol)).as("modified_ts"),
+      // --- content-unit class (FrameCount / Duration analogs) ---
+      when(length(txt) === 0, lit(0L))
+        .otherwise(size(filter(split(txt, "\\s+"), w => length(w) > 0))
+          .cast("long")).as("n_words"),
+      size(regexp_extract_all(txt, lit("[.!?]+"), lit(0)))
+        .cast("long").as("n_sentences"),
+      // --- rate class (OverallBitRate analog: markup overhead) ---
+      when(length(txt) > 0,
+        length(s).cast("double") / length(txt).cast("double"))
+        .as("markup_ratio"),
+      // --- media-dimension class (Video_Width/Height analogs) ---
+      numericOrNull(metaProperty(col(htmlCol), "og:image:width"))
+        .as("og_image_w"),
+      numericOrNull(metaProperty(col(htmlCol), "og:image:height"))
+        .as("og_image_h"),
+      // --- media-presence class (Audio_*/Video_* analogs) ---
+      (countTag(s, "audio") + countTag(s, "video") + countTag(s, "embed"))
+        .as("n_media_tags"),
+      // --- the lossless blob (Json_full_exif analog) ---
+      metaAll(col(htmlCol)).as("meta_all"))
   }
 }

@@ -405,23 +405,35 @@ object Dedup {
     * keeper is the highest-quality member, ties by min id). Docs outside
     * any pair are singleton clusters and trivially kept.
     *
-    * Scale shape: one left join on doc id (uniform), one window
-    * partitioned by cluster_id (cluster sizes are near-dup group sizes —
-    * bounded; a pathological mega-cluster is a data bug surfaced by
-    * q_cluster_sizes, not a plan hazard).
+    * Scale shape: one left join on doc id (uniform), then a TWO-PHASE
+    * argmax instead of a cluster-partitioned window (round-3 verdict
+    * #8): the winner per cluster is `min(struct(-quality, id))` — a
+    * partial-aggregatable agg, so a pathological mega-cluster (all-docs
+    * boilerplate, a data bug) is reduced MAP-SIDE to one row per
+    * partition before the exchange; the flag-back join is a join, which
+    * AQE's skew handling can split across tasks. A WindowExec can never
+    * be split and buffers the whole mega-group per task — that hazard
+    * class is structurally gone. (NaN quality: the agg sorts NaN last
+    * among winners rather than first; F9-scrub quality upstream.)
     *
     * @param docs     (id, text, ...) document table
     * @param clusters (id, cluster_id) from [[clusters]]
-    * @param quality  scoring column evaluated over `docs`
+    * @param quality  scoring column evaluated over `docs` (numeric)
     */
   def keepList(docs: DataFrame, clusters: DataFrame, quality: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    docs.select(col("id"), quality.as("quality"))
+    val scored = docs.select(col("id"), quality.as("quality"))
       .join(clusters.select(col("id"), col("cluster_id")), Seq("id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
-      .withColumn("kept",
-        row_number().over(Window.partitionBy("cluster_id")
-          .orderBy(col("quality").desc, col("id").asc)) === 1)
+    // min over (-quality, id) == (max quality, ties by min id): the
+    // exact ordering the old window used, as one partial-aggregatable
+    // struct-min
+    val winner = scored.groupBy("cluster_id")
+      .agg(min(struct((-col("quality").cast("double")).as("nq"),
+        col("id").as("id"))).as("w"))
+      .select(col("cluster_id"), col("w.id").as("keep_id"))
+    scored.join(winner, "cluster_id")
+      .withColumn("kept", col("id") === col("keep_id"))
+      .select(col("id"), col("quality"), col("cluster_id"), col("kept"))
   }
 
   /** Exact duplicate detection: group by fingerprint of normalized text

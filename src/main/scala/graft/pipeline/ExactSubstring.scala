@@ -89,12 +89,15 @@ object ExactSubstring {
     * (contained = true/false). Deterministic; text is compared as-is —
     * normalize upstream if desired.
     *
-    * Pairs are grouped by their HAY document (the longer side) so the
-    * O(n log^2 n) suffix array is built ONCE per hay doc per batch, then
-    * each needle is an O(m log n) binary search — a hay appearing in k
-    * candidate pairs pays neither k constructions nor k copies of its
-    * text through the shuffle (orientation is decided on lengths alone;
-    * the hay text joins once per group).
+    * Pairs are CO-GROUPED with their HAY document (the longer side) so
+    * the O(n log^2 n) suffix array is built ONCE per hay doc per batch,
+    * then each needle is an O(m log n) binary search. Crucially the
+    * needle side is a STREAMED iterator off the sorted shuffle — a
+    * boilerplate hay matched by 100k needles never materializes one
+    * giant row (the round-3 `collect_list` hazard); per-task memory is
+    * one suffix array plus the needle in flight, independent of group
+    * size. Hay texts semi-join to the distinct hay-id set first, so
+    * non-hay docs never enter the cogroup exchange.
     */
   def containmentPairs(candidates: DataFrame, docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -114,30 +117,37 @@ object ExactSubstring {
       when(col("len_a") >= col("len_b"), col("id_b")).otherwise(col("id_a"))
         .as("needle_id"),
       col("id_a"), col("id_b"))
-    // 2. needle text attaches per pair; pairs group by hay id, so a hay
-    //    in k candidate pairs ships its text 0 times through the
-    //    exchange (needles once each)
+    // 2. needle text attaches per pair (each needle ships once per pair,
+    //    bounded); the hay text never rides the pair rows
     val needleTexts = docs.select(col("id").cast("string").as("needle_id"),
       col("text").as("needle_text"))
-    val grouped = oriented.join(needleTexts, "needle_id")
-      .groupBy("hay_id")
-      .agg(collect_list(struct(col("id_a"), col("id_b"), col("needle_text")))
-        .as("items"))
-    // 3. hay text joins ONCE PER GROUP; suffix array built once per hay
-    val hayTexts = docs.select(col("id").cast("string").as("hay_id"),
+    val pairRows = oriented.join(needleTexts, "needle_id")
+      .select(col("hay_id"), col("id_a"), col("id_b"), col("needle_text"))
+      .as[(String, String, String, String)]
+    // 3. hay side: one row per DISTINCT hay id (ids-only semi-join keeps
+    //    non-hay docs out of the text exchange)
+    val hayIds = oriented.select("hay_id").distinct()
+    val hayRows = docs.select(col("id").cast("string").as("hay_id"),
       col("text").as("hay_text"))
-    grouped.join(hayTexts, "hay_id")
-      .select(col("hay_text"), col("items"))
-      .as[(String, Seq[(String, String, String)])]
-      .flatMap { case (hay, items) =>
-        val sa = if (hay.nonEmpty) suffixArray(hay) else null
-        items.iterator.map { case (ia, ib, needle) =>
-          val contained =
-            if (needle.isEmpty) true
-            else if (hay.isEmpty) false
-            else containsVia(hay, sa, needle)
-          (ia, ib, contained)
+      .join(hayIds, Seq("hay_id"), "left_semi")
+      .as[(String, String)]
+    // 4. cogroup: the pair iterator streams from the sorted shuffle —
+    //    no collect_list, no per-group materialization
+    pairRows.groupByKey(_._1).cogroup(hayRows.groupByKey(_._1)) {
+      (_, pairs, hays) =>
+        if (!hays.hasNext) Iterator.empty // hay id absent from docs
+        else {
+          val hay = Option(hays.next()._2).getOrElse("")
+          val sa = if (hay.nonEmpty) suffixArray(hay) else null
+          pairs.map { case (_, ia, ib, needle0) =>
+            val needle = Option(needle0).getOrElse("")
+            val contained =
+              if (needle.isEmpty) true
+              else if (hay.isEmpty) false
+              else containsVia(hay, sa, needle)
+            (ia, ib, contained)
+          }
         }
-      }.toDF("id_a", "id_b", "contained")
+    }.toDF("id_a", "id_b", "contained")
   }
 }

@@ -121,27 +121,43 @@ object Serving {
       .join(members.select(col("doc_id").as("id_b")), "id_b", "left_semi")
       .select(col("id_a"), col("id_b"), col("similarity"))
 
-  /** ilike path search (`db/access/files.py:156-160`) + extension filter
-    * (`files.py:162-168`) + date-range filter (`files.py:192-203`) over a
-    * pages-like table, composed from a filter spec; metadata sort
-    * (`files.py:147-152` — the exif-duration/date sort analog): columns
-    * prefixed '-' sort descending, url appended as the deterministic
-    * tiebreaker, applied with offset/limit pagination (top-k plan, no
-    * global window).
+  /** ilike path search (`db/access/files.py:156-160`) + extension-suffix
+    * filter (`files.py:162-168`: OR of case-insensitive `%.ext` suffix
+    * matches) + metadata-presence semi/anti filter (`files.py:170-180`:
+    * `Files.exif.has()` / `~has()` against the exif satellite — here a
+    * metadata table keyed by url, e.g. [[graft.functions.PageMetadata]]
+    * output) + date-range filter (`files.py:192-203`) over a pages-like
+    * table, composed from a filter spec; metadata sort (`files.py:147-152`
+    * — the exif-duration/date sort analog): columns prefixed '-' sort
+    * descending, url appended as the deterministic tiebreaker, applied
+    * with offset/limit pagination (top-k plan, no global window).
     */
   def listFiles(pages: DataFrame,
                 pathContains: Option[String] = None,
+                extensions: Seq[String] = Nil,
                 langIn: Seq[String] = Nil,
                 minTextLen: Option[Int] = None,
                 tsFrom: Option[java.sql.Timestamp] = None,
                 tsTo: Option[java.sql.Timestamp] = None,
+                metaTable: Option[DataFrame] = None,
+                hasMeta: Option[Boolean] = None,
                 sortBy: Seq[String] = Nil,
                 offset: Int = 0,
                 limit: Option[Int] = None): DataFrame = {
     var df = pages
     pathContains.foreach(q => df = df.where(lower(col("url")).contains(q.toLowerCase)))
+    if (extensions.nonEmpty)
+      df = df.where(extensions
+        .map(e => lower(col("url")).endsWith(s".${e.toLowerCase}"))
+        .reduce(_ || _))
     if (langIn.nonEmpty) df = df.where(col("lang").isin(langIn: _*))
     minTextLen.foreach(n => df = df.where(length(col("text")) >= n))
+    hasMeta.foreach { has =>
+      val m = metaTable.getOrElse(sys.error(
+        "hasMeta filter requires a metadata table (metaTable = Some(...))"))
+      df = df.join(m.select(col("url")), Seq("url"),
+        if (has) "left_semi" else "left_anti")
+    }
     tsFrom.foreach(t => df = df.where(col("warc_ts") >= lit(t)))
     tsTo.foreach(t => df = df.where(col("warc_ts") < lit(t)))
     if (sortBy.nonEmpty || limit.isDefined || offset > 0) {

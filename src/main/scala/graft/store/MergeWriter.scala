@@ -47,19 +47,39 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
       replaceBatch = Some(batchId), op = "upsert"): Unit
   }
 
-  /** Current state: last writer per key wins (highest batch id). Reads
-    * one immutable snapshot — concurrent upserts/compactions never
-    * disturb an in-flight read.
+  /** Snapshot read with a read-time `_seq` column = the entry's index
+    * in the manifest (commit order: appends land after kept entries, a
+    * replace resets to index 0). `_seq` is the DETERMINISTIC tiebreak
+    * for equal `_batch` values — the one way that happens is a
+    * compaction (which stamps rows with maxBatch) followed by a retried
+    * upsert of batchId == maxBatch: the retry's entry sits later in the
+    * manifest and must win, whatever values it carries.
+    */
+  private def readWithSeq(snap: TxSnapshot): DataFrame =
+    snap.entries.zipWithIndex.map { case (e, i) =>
+      spark.read.parquet(new java.io.File(log.root, e.path).getPath)
+        .withColumn("_seq", lit(i.toLong))
+    }.reduce(_.unionByName(_))
+
+  private def resolveLastWriter(snap: TxSnapshot): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_batch").desc, col("_seq").desc)
+    readWithSeq(snap)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn", "_batch", "_seq")
+  }
+
+  /** Current state: last writer per key wins (highest batch id, ties
+    * broken by commit order — see [[readWithSeq]]). Reads one immutable
+    * snapshot — concurrent upserts/compactions never disturb an
+    * in-flight read.
     */
   def read(): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val snap = log.snapshot()
     require(snap.entries.nonEmpty, s"empty store at $path")
-    val raw = log.readSnapshot(spark, snap)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_batch").desc)
-    raw.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .drop("_rn", "_batch")
+    resolveLastWriter(snap)
   }
 
   def exists(): Boolean = log.snapshot().entries.nonEmpty
@@ -70,14 +90,9 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
     * loudly if the version was vacuumed past.
     */
   def readAsOf(version: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val snap = log.snapshotAt(version)
     require(snap.entries.nonEmpty, s"version $version of $path is empty")
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_batch").desc)
-    log.readSnapshot(spark, snap)
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .drop("_rn", "_batch")
+    resolveLastWriter(snap)
   }
 
   /** Compact the batch history to current state: materializes read()
@@ -98,12 +113,13 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
       if (snap.entries.size <= 1) return // nothing to collapse
       val maxBatch = snap.entries.map(_.batch).max
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_batch").desc)
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("_batch").desc, col("_seq").desc)
       val dir = log.newDataDir()
-      log.readSnapshot(spark, snap)
+      readWithSeq(snap)
         .withColumn("_rn", row_number().over(w))
         .where(col("_rn") === 1)
-        .drop("_rn")
+        .drop("_rn", "_seq")
         .withColumn("_batch", lit(maxBatch))
         .write.mode(SaveMode.Overwrite).parquet(dir.getPath)
       // the manifest ENTRY is tagged with a reserved sentinel, not

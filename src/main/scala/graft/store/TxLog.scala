@@ -184,6 +184,31 @@ final class TxLog(val root: String) {
       .foreach(_.delete())
   }
 
+  /** Commit history over the retained manifests, oldest first:
+    * (version, op, entry count) — the `DESCRIBE HISTORY` analog.
+    * Vacuumed-past versions are simply absent.
+    */
+  def history(): Seq[(Long, String, Int)] =
+    Option(logDir.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName match {
+        case manifestName(v) => Some((v.toLong, f))
+        case _               => None
+      })
+      .sortBy(_._1)
+      .map { case (v, f) =>
+        val j = org.json4s.jackson.JsonMethods.parse(
+          new String(Files.readAllBytes(f.toPath), UTF_8))
+        val op = j \ "op" match {
+          case org.json4s.JString(s) => s
+          case _                     => "unknown"
+        }
+        val n = j \ "entries" match {
+          case org.json4s.JArray(items) => items.size
+          case _                        => 0
+        }
+        (v, op, n)
+      }.toSeq
+
   /** Latest table contents, or None when the table is genuinely empty
     * (no committed version / no live entries). Anything else — a
     * missing or corrupt data file, an unreadable manifest — PROPAGATES:
@@ -223,17 +248,30 @@ final class TxLog(val root: String) {
     val tmp = new File(logDir, s".tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp.toPath, json.getBytes(UTF_8))
     try {
+      if (TxLog.simulateNoHardLinks)
+        throw new UnsupportedOperationException("simulated no-hardlink fs")
       Files.createLink(target.toPath, tmp.toPath)
       true
     } catch {
       case _: FileAlreadyExistsException => false
-      case _: UnsupportedOperationException =>
+      case e: UnsupportedOperationException =>
         // POSIX rename REPLACES an existing target (no
         // FileAlreadyExistsException), so check-then-move must be
         // serialized or a concurrent committer's manifest would be
-        // silently overwritten — a JVM-wide lock makes the fallback a
-        // real CAS within one process (cross-process safety on such a
-        // filesystem requires an external lock; documented)
+        // silently overwritten. A JVM-wide lock makes the fallback a
+        // real CAS within ONE process only — a second process on such a
+        // filesystem could silently overwrite this commit (lost
+        // update). That degradation must be an explicit operator
+        // decision, not a silent one: without the opt-in flag the
+        // commit FAILS LOUDLY naming the hazard and the flag.
+        if (!TxLog.unsafePublishFallbackEnabled)
+          throw new IllegalStateException(
+            s"filesystem at $root does not support hard links, so commits " +
+              "cannot be published with an atomic compare-and-swap. The " +
+              "atomic-move fallback is safe only when exactly one JVM ever " +
+              "writes this table (a concurrent process could silently " +
+              "overwrite a commit). If that is guaranteed, opt in with " +
+              s"-D${TxLog.UnsafePublishFallbackProp}=true.", e)
         TxLog.fallbackPublishLock.synchronized {
           if (target.exists()) false
           else {
@@ -295,4 +333,16 @@ object TxLog {
     * and the fallback path is cold.
     */
   private[store] val fallbackPublishLock = new Object
+
+  /** Opt-in for the single-JVM atomic-move publish fallback on
+    * filesystems without hard links (see tryPublish). Off by default:
+    * degrading the commit CAS silently risks lost commits under
+    * multi-process access.
+    */
+  val UnsafePublishFallbackProp = "graft.txlog.unsafePublishFallback"
+  private def unsafePublishFallbackEnabled: Boolean =
+    sys.props.get(UnsafePublishFallbackProp).exists(_.equalsIgnoreCase("true"))
+
+  /** Test seam: force the no-hardlink path without a special fs. */
+  @volatile private[graft] var simulateNoHardLinks: Boolean = false
 }

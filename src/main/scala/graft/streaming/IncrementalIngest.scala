@@ -270,9 +270,17 @@ object IncrementalIngest {
     * store (compaction is an optimization; inside `start()` it runs
     * serially with the writes, so the race only matters for manual
     * out-of-band calls).
+    *
+    * `vacuumGraceMs` defaults to the same protective 10-minute grace as
+    * [[graft.store.TxLog.vacuum]]: an out-of-band invocation must not
+    * delete a concurrent writer's staged-but-uncommitted data dir (its
+    * later commitAppend would publish a manifest referencing deleted
+    * files — silent corruption instead of a clean CAS abort) nor yank
+    * files from a reader holding a pre-compact snapshot. Pass 0 only in
+    * tests / known-quiescent maintenance windows.
     */
   def compactStores(spark: SparkSession, workDir: String, cfg: DedupConfig,
-                    vacuumGraceMs: Long = 0L): Unit = {
+                    vacuumGraceMs: Long = 600000L): Unit = {
     val targetParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     Seq(sigLog(workDir, cfg), bandLog(workDir, cfg), pairLog(workDir, cfg))
       .foreach { log =>

@@ -144,4 +144,30 @@ class EdgeCaseSpec extends SparkSpecBase {
     // the sub-k template matches nothing (empty shingle set -> coverage 0)
     assert(!got.exists(_._1 == 2L))
   }
+
+  test("TemplateSearch: template shingle HOF evaluates on the broadcast template side only") {
+    val spark2 = spark
+    import spark2.implicits._
+    val templates = Seq((1L, "b c d e")).toDF("template_id", "text")
+    val docs = Seq((10L, "a b c d e f"), (11L, "z b c d w q")).toDF("id", "text")
+    val result = graft.queries.TemplateSearch.search(templates, docs)
+    val plan = result.queryExecution.optimizedPlan
+    val planStr = plan.toString
+    val join = plan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.get
+    val tSide = Seq(join.left, join.right)
+      .find(_.output.exists(_.name == "template_id")).get
+    // the shingle array is an OUTPUT of the broadcast template side
+    // (on tiny local fixtures Catalyst may even fold it to a literal
+    // LocalRelation — evaluated |templates| times or fewer, never per
+    // hit) ...
+    assert(tSide.output.exists(_.name == "t_shingles"), s"plan:\n$planStr")
+    // ... and no operator ABOVE the join rebuilds it: every transform()
+    // in the plan (if any survive folding) lives in the template subtree
+    val total = "transform\\(".r.findAllIn(planStr).size
+    val below = "transform\\(".r.findAllIn(tSide.toString).size
+    assert(total == below,
+      s"template shingle transform evaluated above the join:\n$planStr")
+  }
 }

@@ -126,7 +126,9 @@ class ResumeStreamingAnnSpec extends SparkSpecBase {
       IncrementalIngest.sigLog(workDir, cfg).snapshot().entries.size
     assert(sigCommitsBefore >= 2, "expected one commit per micro-batch")
     val bandRowsBefore = bandStore.count() // materialize before the swap
-    IncrementalIngest.compactStores(spark, workDir, cfg)
+    // grace 0: this test is quiescent and asserts immediate reclamation
+    // (the production default keeps a 10-min orphan grace)
+    IncrementalIngest.compactStores(spark, workDir, cfg, vacuumGraceMs = 0L)
     assert(IncrementalIngest.sigLog(workDir, cfg).snapshot().entries.size == 1)
     assert(IncrementalIngest.pairLog(workDir, cfg).snapshot().entries.size == 1)
     def nDataDirs(log: graft.store.TxLog): Int =
@@ -409,5 +411,32 @@ class ResumeStreamingAnnSpec extends SparkSpecBase {
     val emb = graft.multimodal.BinaryPipeline.itemEmbedding(frames)
     assert(emb.columns.toSeq == Seq("id", "n_frames", "embedding"))
     assert(emb.count() == 64)
+  }
+
+  test("IVF centroid store: train-once tag-stamped persist; cache hits skip training, bit-identical") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.functions.IvfCentroidStore
+    val emb = (0 until 200).map { i =>
+      (i.toLong, (0 until 16).map(d => math.sin(i * 31 + d).toFloat))
+    }.toDF("id", "embedding")
+    val store = tmpDir("graft-ivf-store")
+    IvfCentroidStore.clearMemo()
+    def same(a: Array[Array[Float]], b: Array[Array[Float]]): Boolean =
+      a.length == b.length && a.zip(b).forall { case (x, y) => x.sameElements(y) }
+    val fresh = Embeddings.trainIvfCentroids(emb, nCells = 8)
+    val c1 = IvfCentroidStore.loadOrTrain(emb, store, "t1", nCells = 8)
+    assert(same(c1, fresh), "stored centroids must equal a fresh train")
+    // memo hit: a schema-less bogus frame would explode if training ran
+    val bogus = Seq(Tuple1(1L)).toDF("id")
+    assert(same(IvfCentroidStore.loadOrTrain(bogus, store, "t1"), fresh))
+    // disk hit across "sessions" (memo wiped): still no retraining
+    IvfCentroidStore.clearMemo()
+    assert(same(IvfCentroidStore.loadOrTrain(bogus, store, "t1"), fresh))
+    // end-to-end: cached query == fresh-quantizer query, bit for bit
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(Embeddings.ivfTopKCached(emb, k = 3, store, "t1", nCells = 8)) ==
+      rows(Embeddings.ivfTopKWith(emb, k = 3, fresh)))
   }
 }

@@ -206,6 +206,39 @@ class Round2Spec extends SparkSpecBase {
     assert(en == Seq("u/b", "u/d", "u/a"))
   }
 
+  test("listFiles: extension-suffix OR filter + metadata-presence semi/anti (files.py:162-180)") {
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(d: Int) = new Timestamp(1700000000000L + d * 86400000L)
+    val pages = Seq(
+      ("u/a.html", ts(1), "x", "en"),
+      ("u/b.TXT", ts(1), "x", "en"),
+      ("u/c.png", ts(1), "x", "en"),
+      ("u/d", ts(1), "x", "en"),
+      ("u/e.snapshot.html", ts(1), "x", "en") // suffix, not whole name
+    ).toDF("url", "warc_ts", "text", "lang")
+    def urls(df: org.apache.spark.sql.DataFrame) =
+      df.select("url").collect().map(_.getString(0)).toSet
+    // case-insensitive OR across extensions, true suffix semantics
+    assert(urls(Serving.listFiles(pages,
+      extensions = Seq("HTML", "txt"))) ==
+      Set("u/a.html", "u/b.TXT", "u/e.snapshot.html"))
+    // metadata presence: exif.has() / ~has() analog via semi/anti join
+    val meta = Seq("u/a.html", "u/c.png").toDF("url")
+    assert(urls(Serving.listFiles(pages, metaTable = Some(meta),
+      hasMeta = Some(true))) == Set("u/a.html", "u/c.png"))
+    assert(urls(Serving.listFiles(pages, metaTable = Some(meta),
+      hasMeta = Some(false))) == Set("u/b.TXT", "u/d", "u/e.snapshot.html"))
+    // composes with the extension filter
+    assert(urls(Serving.listFiles(pages, extensions = Seq("html"),
+      metaTable = Some(meta), hasMeta = Some(false))) ==
+      Set("u/e.snapshot.html"))
+    // asking for the presence filter without a table fails loudly
+    intercept[RuntimeException] {
+      Serving.listFiles(pages, hasMeta = Some(true))
+    }
+  }
+
   test("path scalars: basename + relativize (repr_utils semantics)") {
     val spark2 = spark
     import spark2.implicits._
@@ -234,14 +267,20 @@ class Round2Spec extends SparkSpecBase {
         |<title>Hello World</title>
         |<meta name="description" content="A test page">
         |<meta name="keywords" content="a,b">
+        |<meta name="description" content="duplicate loses">
+        |<meta name="generator" content="handcraft 1.0">
         |<meta property="article:published_time" content="2023-04-05T06:07:08Z">
+        |<meta property="article:modified_time" content="2023-04-06T01:02:03Z">
+        |<meta property="og:image:width" content="640">
+        |<meta property="og:image:height" content="not-a-number">
         |<link rel="canonical" href="https://ex.org/x">
         |<style>s{}</style><script>var i=1;</script></head>
         |<body><h1>H</h1><h2>I</h2><p>one</p><p>two</p>
+        |<video src="v.mp4"></video><audio src="a.ogg"></audio>
         |<a href="/x">l</a><a href="/y">m</a><img src="i.png"></body></html>""".stripMargin
     val garbageDate = golden.replace("2023-04-05T06:07:08Z", "not a real date")
     val noDate = golden.replaceAll("""(?s)<meta property="article:published_time"[^>]*>\n""", "")
-    val df = Seq(("https://ex.org/x", golden.getBytes("UTF-8"))).toDF("url", "html")
+    val df = Seq(("https://ex.org/page.html?v=1", golden.getBytes("UTF-8"))).toDF("url", "html")
     val m = PageMetadata.extract(df).head
     // DateTime-typed column (exif DateTime analog): ISO instant parsed,
     // garbage -> null, absent -> null — never an error
@@ -265,6 +304,30 @@ class Round2Spec extends SparkSpecBase {
     assert(m.getAs[Long]("n_paragraphs") == 2L)
     assert(m.getAs[Long]("n_headings") == 2L)
     assert(m.getAs[Boolean]("has_script") && m.getAs[Boolean]("has_style"))
+    // round-4 parity columns (full 26-typed exif analog set)
+    assert(m.getAs[Long]("file_size") == golden.getBytes("UTF-8").length.toLong)
+    assert(m.getAs[String]("url_ext") == "html") // query string stripped
+    assert(m.getAs[String]("doctype") == "html")
+    assert(m.getAs[String]("generator") == "handcraft 1.0")
+    assert(m.getAs[java.sql.Timestamp]("modified_ts") ==
+      java.sql.Timestamp.from(java.time.Instant.parse("2023-04-06T01:02:03Z")))
+    // extracted text keeps the title: "Hello World H I one two l m"
+    // -> 8 words, 0 sentence enders
+    assert(m.getAs[Long]("n_words") == 8L)
+    assert(m.getAs[Long]("n_sentences") == 0L)
+    assert(m.getAs[Double]("markup_ratio") > 1.0)
+    assert(m.getAs[Long]("og_image_w") == 640L)
+    assert(m.isNullAt(m.fieldIndex("og_image_h")), "garbage dim -> null")
+    assert(m.getAs[Long]("n_media_tags") == 2L)
+    // the blob map: every meta pair queryable, first occurrence wins on
+    // duplicate keys, property/name keys both captured (lowercased)
+    val blob = m.getAs[Map[String, String]]("meta_all")
+    assert(blob("description") == "A test page") // not "duplicate loses"
+    assert(blob("keywords") == "a,b")
+    assert(blob("generator") == "handcraft 1.0")
+    assert(blob("article:published_time") == "2023-04-05T06:07:08Z")
+    assert(blob("og:image:width") == "640")
+    assert(blob("og:image:height") == "not-a-number")
     // synthetic corpus: html wraps text in <p> blocks with script+style,
     // empty title -> null; text_len equals the extracted body text
     val (pages, _) = SynthCorpus.generate(spark, seed = 5L, nBase = 30)
@@ -319,6 +382,34 @@ class Round2Spec extends SparkSpecBase {
       ("2", "3") -> false, ("5", "6") -> false))
   }
 
+  test("suffix-array containment: adversarial hot hay (1 hay x 10k needles) streams, no collect_list") {
+    val spark2 = spark
+    import spark2.implicits._
+    // one boilerplate hay matched by 10k candidate needles — the exact
+    // skew shape the round-3 collect_list would have materialized as a
+    // single giant row
+    val hay = (0 until 2000).map(i => s"tok$i").mkString(" ")
+    val needles = (1 to 10000).map { i =>
+      val s = (i % 1800) + 1
+      if (i % 3 == 0) (i.toLong, s"tok$s tok${s + 1} tok${s + 2}") // contained
+      else (i.toLong, s"tok$s zzz$i tok${s + 2}") // not contained
+    }
+    val docs = (Seq((0L, hay)) ++ needles).toDF("id", "text")
+    val cands = (1 to 10000).map(i => (0L, i.toLong)).toDF("id_a", "id_b")
+    val result = ExactSubstring.containmentPairs(cands, docs)
+    // plan-shape gate: the hay group is co-grouped/streamed, never
+    // aggregated into one row
+    val plan = result.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), s"collect_list in plan:\n$plan")
+    assert(plan.contains("CoGroup"), s"expected CoGroup in plan:\n$plan")
+    val got = result.collect()
+      .map(r => (r.getString(1).toLong, r.getBoolean(2))).toMap
+    assert(got.size == 10000)
+    needles.foreach { case (id, text) =>
+      assert(got(id) == hay.contains(text), s"needle $id")
+    }
+  }
+
   test("prefix-filtered exact Jaccard: identical pair set, fewer candidates on boilerplate skew") {
     // boilerplate-heavy fixture: the hot shared shingles are exactly what
     // the plain inverted-index join degenerates on
@@ -369,6 +460,37 @@ class Round2Spec extends SparkSpecBase {
     assert(got(5L) == (5L, true) && got(6L) == (5L, false), "tie -> min id")
     // exactly one keeper in cluster 1, and it's the longest/richest doc (2)
     assert(got(2L)._2 && !got(1L)._2 && !got(3L)._2)
+  }
+
+  test("keepList mega-cluster: no WindowExec, map-side partial argmax, correct keeper on a 50k-member cluster") {
+    val spark2 = spark
+    import spark2.implicits._
+    // one pathological cluster holding nearly the whole corpus — the
+    // skew shape a cluster-partitioned window would serialize onto one
+    // buffered task
+    val n = 50000
+    val docs = spark.range(n.toLong)
+      .select(col("id"), (pmod(col("id") * 2654435761L, lit(1000L)))
+        .cast("double").as("q"))
+    val clusters = spark.range(n.toLong)
+      .select(col("id"), when(col("id") < n - 5, lit(0L))
+        .otherwise(col("id")).as("cluster_id"))
+    val result = Dedup.keepList(docs, clusters, col("q"))
+    val plan = result.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in keepList plan:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial min") ||
+      plan.toLowerCase.contains("hashaggregate"),
+      s"expected partial aggregation in:\n$plan")
+    val kept = result.where(col("kept")).collect()
+      .map(r => (r.getLong(2), r.getLong(0))).toMap
+    // exactly one keeper per cluster; mega-cluster keeper = max quality,
+    // min id among ties — computed independently
+    assert(kept.size == 6)
+    val expected = (0L until (n - 5).toLong)
+      .map(i => (i, (i * 2654435761L) % 1000L))
+      .groupBy(_._2).maxBy(_._1)._2.map(_._1).min
+    assert(kept(0L) == expected, s"mega-cluster keeper ${kept(0L)} != $expected")
+    (n - 5 until n).foreach(i => assert(kept(i.toLong) == i.toLong))
   }
 
   test("prefix filter completeness (property): random corpora x thresholds match brute force") {

@@ -29,7 +29,19 @@ class SweepSpec extends SparkSpecBase {
       s"default config not perfect on its own contract: $defCell")
     cells.foreach(c => assert(defCell.f1 >= c.f1,
       s"default f1 ${defCell.f1} < cell $c"))
-    // every cell's ranked lists are sane: mAP defined and within [0,1]
-    cells.foreach(c => assert(c.mAP >= 0.0 && c.mAP <= 1.0))
+    // every cell's ranked lists are sane: mAP defined and within [0,1],
+    // and the resampled-trials protocol (evaluate.py:97-106) holds:
+    // 5 per-trial values, each a valid mAP, mean == reported mAP
+    cells.foreach { c =>
+      assert(c.mAP >= 0.0 && c.mAP <= 1.0)
+      assert(c.mapTrials.size == 5, s"expected 5 trials: $c")
+      c.mapTrials.foreach(t => assert(t >= 0.0 && t <= 1.0))
+      assert(math.abs(c.mAP - c.mapTrials.sum / 5) < 1e-12)
+    }
+    // trials genuinely resample: at least one cell shows spread (the
+    // corpus has enough queries that 5 distinct 80% samples cannot all
+    // coincide everywhere)
+    assert(cells.exists(c => c.mapTrials.distinct.size > 1),
+      "all trials identical in every cell — resampling is a no-op")
   }
 }

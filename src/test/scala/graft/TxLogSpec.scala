@@ -218,4 +218,82 @@ class TxLogSpec extends SparkSpecBase {
     intercept[Exception] { store.read().collect() }
     intercept[Exception] { store.completedBuckets("stage", "tag") }
   }
+
+  test("compaction + retried upsert of maxBatch: retry wins deterministically (commit-order tiebreak)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp("txlog-tiebreak")
+    val w = new MergeWriter(spark, dir, Seq("k"))
+    w.upsert(Seq(("a", 1), ("b", 1)).toDF("k", "v"), batchId = 1)
+    w.upsert(Seq(("b", 2), ("c", 2)).toDF("k", "v"), batchId = 2)
+    w.compact(vacuumGraceMs = 60000L) // rows now stamped _batch = 2
+    // a redelivered batch 2 with DIFFERENT values: same _batch as the
+    // compacted rows, but its manifest entry is later -> it must win
+    w.upsert(Seq(("b", 99), ("c", 99)).toDF("k", "v"), batchId = 2)
+    (1 to 3).foreach { _ =>
+      assert(w.read().collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+        Set(("a", 1), ("b", 99), ("c", 99)))
+    }
+  }
+
+  test("SQL time travel: two pinned versions queryable side by side + DESCRIBE HISTORY analog") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.store.TxLogSql
+    val dir = tmp("txlog-sql")
+    val w = new MergeWriter(spark, dir, Seq("k"))
+    w.upsert(Seq(("a", 1), ("b", 1)).toDF("k", "v"), batchId = 1) // version 0
+    w.upsert(Seq(("b", 2), ("c", 2)).toDF("k", "v"), batchId = 2) // version 1
+    TxLogSql.pinView(spark, "store_v0", dir, Seq("k"), version = 0)
+    TxLogSql.pinView(spark, "store_v1", dir, Seq("k"), version = 1)
+    def rows(view: String) =
+      spark.sql(s"SELECT k, v FROM $view ORDER BY k")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(rows("store_v0") == Seq(("a", 1), ("b", 1)))
+    assert(rows("store_v1") == Seq(("a", 1), ("b", 2), ("c", 2)))
+    // versions join in ONE SQL statement (the serving use case: diff a
+    // store against its previous snapshot)
+    val changed = spark.sql(
+      """SELECT cur.k FROM store_v1 cur LEFT JOIN store_v0 old ON cur.k = old.k
+        |WHERE old.v IS NULL OR old.v <> cur.v ORDER BY cur.k""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(changed == Seq("b", "c"))
+    // a later commit does NOT move a pinned view until re-pinned
+    w.upsert(Seq(("a", 9)).toDF("k", "v"), batchId = 3)
+    assert(rows("store_v1") == Seq(("a", 1), ("b", 2), ("c", 2)))
+    TxLogSql.pinViewLatest(spark, "store_latest", dir, Seq("k"))
+    assert(rows("store_latest") == Seq(("a", 9), ("b", 2), ("c", 2)))
+    // history: one append-style commit per upsert, entry counts grow
+    val hist = TxLogSql.history(spark, s"$dir/table")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(hist.map(_._1) == Seq(0L, 1L, 2L))
+    assert(hist.forall(_._2 == "upsert"))
+    assert(hist.map(_._3) == Seq(1, 2, 3))
+  }
+
+  test("no-hardlink filesystems: commit fails loudly unless the unsafe fallback is opted into") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp("txlog-nolink")
+    val w = new MergeWriter(spark, dir, Seq("k"))
+    TxLog.simulateNoHardLinks = true
+    try {
+      val ex = intercept[IllegalStateException] {
+        w.upsert(Seq(("a", 1)).toDF("k", "v"), batchId = 1)
+      }
+      assert(ex.getMessage.contains(TxLog.UnsafePublishFallbackProp))
+      assert(!w.exists(), "failed publish must not leave a manifest")
+      // explicit opt-in: the single-JVM atomic-move fallback engages
+      System.setProperty(TxLog.UnsafePublishFallbackProp, "true")
+      try {
+        w.upsert(Seq(("a", 1)).toDF("k", "v"), batchId = 1)
+        assert(w.read().collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+          Set(("a", 1)))
+      } finally {
+        System.clearProperty(TxLog.UnsafePublishFallbackProp); ()
+      }
+    } finally {
+      TxLog.simulateNoHardLinks = false
+    }
+  }
 }
