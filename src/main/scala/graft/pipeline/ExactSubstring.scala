@@ -89,21 +89,43 @@ object ExactSubstring {
     * (contained = true/false). Deterministic; text is compared as-is —
     * normalize upstream if desired.
     *
-    * Pairs are CO-GROUPED with their HAY document (the longer side) so
-    * the O(n log^2 n) suffix array is built ONCE per hay doc per batch,
-    * then each needle is an O(m log n) binary search. Crucially the
-    * needle side is a STREAMED iterator off the sorted shuffle — a
-    * boilerplate hay matched by 100k needles never materializes one
-    * giant row (the round-3 `collect_list` hazard); per-task memory is
-    * one suffix array plus the needle in flight, independent of group
-    * size. Hay texts semi-join to the distinct hay-id set first, so
-    * non-hay docs never enter the cogroup exchange.
+    * Pairs are grouped by their HAY document (the longer side) so the
+    * O(n log^2 n) suffix array is built ONCE per hay doc per batch, and
+    * the hay group is bounded by a MEASURED hot split (the same pattern
+    * as the hot-shingle salting in `Dedup.containmentPairs`):
+    *
+    *  - hays in at most `hotCap` candidate pairs take the compact
+    *    `collect_list` path — one bounded row per hay (≤ hotCap needle
+    *    texts), the fast shape for the overwhelmingly common case
+    *    (measured ~2x faster than cogroup at sf0.1);
+    *  - hays past the cap — boilerplate matched by thousands of needles,
+    *    exactly the skew band-salting exists for — are CO-GROUPED with
+    *    their needles instead: the needle side is a STREAMED iterator
+    *    off the sorted shuffle, so per-task memory is one suffix array
+    *    plus the needle in flight, independent of group size. No giant
+    *    row is ever materialized (the round-3 hazard).
+    *
+    * Per-hay candidate counts come from the ids-only oriented pair set
+    * (one cheap aggregation); the hot-hay id set is tiny by
+    * construction (≤ |pairs| / hotCap) and broadcast to split both
+    * sides without a shuffle. With `materialize` (the default) the
+    * hot set is EVALUATED up front: when no hay is hot — the normal
+    * case — the single-consumer cold plan is returned directly, so the
+    * benign path pays exactly one extra ids-only aggregation over the
+    * round-3 shape, none of the two-branch machinery.
+    * `materialize=false` keeps the fully lazy two-branch plan (plan
+    * dumps; callers embedding this in a larger lazy pipeline).
     */
-  def containmentPairs(candidates: DataFrame, docs: DataFrame): DataFrame = {
+  def containmentPairs(candidates: DataFrame, docs: DataFrame,
+                       hotCap: Int = 128,
+                       materialize: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // 1. orientation from a LENGTH-only projection — full texts never
-    //    join the candidate table row-per-pair
+    //    join the candidate table row-per-pair. MATERIALIZED (ids only,
+    //    tiny): it feeds the hot-count agg AND both branch splits —
+    //    lazy, the orientation joins would re-execute once per consumer.
+    //    materialize=false keeps the fully lazy plan for plan dumps.
     val lens = docs.select(col("id").cast("string").as("id"),
       length(col("text")).as("len"))
     val withLen = candidates
@@ -111,43 +133,73 @@ object ExactSubstring {
         col("id_b").cast("string").as("id_b"))
       .join(lens.select(col("id").as("id_a"), col("len").as("len_a")), "id_a")
       .join(lens.select(col("id").as("id_b"), col("len").as("len_b")), "id_b")
-    val oriented = withLen.select(
+    val oriented0 = withLen.select(
       when(col("len_a") >= col("len_b"), col("id_a")).otherwise(col("id_b"))
         .as("hay_id"),
       when(col("len_a") >= col("len_b"), col("id_b")).otherwise(col("id_a"))
         .as("needle_id"),
       col("id_a"), col("id_b"))
+    val oriented = if (materialize) oriented0.localCheckpoint(true) else oriented0
     // 2. needle text attaches per pair (each needle ships once per pair,
     //    bounded); the hay text never rides the pair rows
     val needleTexts = docs.select(col("id").cast("string").as("needle_id"),
       col("text").as("needle_text"))
-    val pairRows = oriented.join(needleTexts, "needle_id")
-      .select(col("hay_id"), col("id_a"), col("id_b"), col("needle_text"))
-      .as[(String, String, String, String)]
-    // 3. hay side: one row per DISTINCT hay id (ids-only semi-join keeps
-    //    non-hay docs out of the text exchange)
-    val hayIds = oriented.select("hay_id").distinct()
-    val hayRows = docs.select(col("id").cast("string").as("hay_id"),
+    def pairRowsOf(orientedSide: DataFrame): DataFrame =
+      orientedSide.join(needleTexts, "needle_id")
+        .select(col("hay_id"), col("id_a"), col("id_b"), col("needle_text"))
+    // 3. measured hot split: ids-only count per hay, hot set broadcast
+    val hotHays = oriented.groupBy("hay_id").agg(count(lit(1)).as("n"))
+      .where(col("n") > hotCap).select("hay_id")
+    val hayTexts = docs.select(col("id").cast("string").as("hay_id"),
       col("text").as("hay_text"))
-      .join(hayIds, Seq("hay_id"), "left_semi")
+    // 4a. cold hays (bounded groups): collect_list + one join per group
+    def coldPath(pairs: DataFrame): DataFrame = pairs
+      .groupBy("hay_id")
+      .agg(collect_list(struct(col("id_a"), col("id_b"), col("needle_text")))
+        .as("items"))
+      .join(hayTexts, "hay_id")
+      .select(col("hay_text"), col("items"))
+      .as[(String, Seq[(String, String, String)])]
+      .flatMap { case (hay0, items) =>
+        val hay = Option(hay0).getOrElse("")
+        val sa = if (hay.nonEmpty) suffixArray(hay) else null
+        items.iterator.map { case (ia, ib, needle0) =>
+          (ia, ib, containedIn(hay, sa, Option(needle0).getOrElse("")))
+        }
+      }.toDF("id_a", "id_b", "contained")
+    if (materialize && hotHays.isEmpty) {
+      // no hot hay anywhere (the normal case): single-consumer cold
+      // plan, no split joins, no second branch — round-3 shape + one
+      // ids-only aggregation
+      return coldPath(pairRowsOf(oriented))
+    }
+    // 4b. hot hays exist (or the caller wants the lazy full plan):
+    // split on the broadcast hot set; hot needles stream through a
+    // cogroup — nothing materializes per group
+    val coldOut = coldPath(
+      pairRowsOf(oriented.join(broadcast(hotHays), Seq("hay_id"), "left_anti")))
+    val hotPairs = pairRowsOf(
+      oriented.join(broadcast(hotHays), Seq("hay_id"), "left_semi"))
+      .as[(String, String, String, String)]
+    val hotHayRows = hayTexts
+      .join(broadcast(hotHays), Seq("hay_id"), "left_semi")
       .as[(String, String)]
-    // 4. cogroup: the pair iterator streams from the sorted shuffle —
-    //    no collect_list, no per-group materialization
-    pairRows.groupByKey(_._1).cogroup(hayRows.groupByKey(_._1)) {
+    val hotOut = hotPairs.groupByKey(_._1).cogroup(hotHayRows.groupByKey(_._1)) {
       (_, pairs, hays) =>
         if (!hays.hasNext) Iterator.empty // hay id absent from docs
         else {
           val hay = Option(hays.next()._2).getOrElse("")
           val sa = if (hay.nonEmpty) suffixArray(hay) else null
           pairs.map { case (_, ia, ib, needle0) =>
-            val needle = Option(needle0).getOrElse("")
-            val contained =
-              if (needle.isEmpty) true
-              else if (hay.isEmpty) false
-              else containsVia(hay, sa, needle)
-            (ia, ib, contained)
+            (ia, ib, containedIn(hay, sa, Option(needle0).getOrElse("")))
           }
         }
     }.toDF("id_a", "id_b", "contained")
+    coldOut.union(hotOut)
   }
+
+  private def containedIn(hay: String, sa: Array[Int], needle: String): Boolean =
+    if (needle.isEmpty) true
+    else if (hay.isEmpty) false
+    else containsVia(hay, sa, needle)
 }

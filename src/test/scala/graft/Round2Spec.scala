@@ -397,10 +397,13 @@ class Round2Spec extends SparkSpecBase {
     val docs = (Seq((0L, hay)) ++ needles).toDF("id", "text")
     val cands = (1 to 10000).map(i => (0L, i.toLong)).toDF("id_a", "id_b")
     val result = ExactSubstring.containmentPairs(cands, docs)
-    // plan-shape gate: the hay group is co-grouped/streamed, never
-    // aggregated into one row
-    val plan = result.queryExecution.executedPlan.toString
-    assert(!plan.contains("collect_list"), s"collect_list in plan:\n$plan")
+    // plan-shape gate on the LAZY form (materialize=true checkpoints,
+    // collapsing the plan): the hot branch is co-grouped/streamed; the
+    // only collect_list left is the anti-joined cold branch, whose
+    // groups are bounded by hotCap — and here the one hay is hot, so
+    // the cold branch is empty
+    val plan = ExactSubstring.containmentPairs(cands, docs, materialize = false)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("CoGroup"), s"expected CoGroup in plan:\n$plan")
     val got = result.collect()
       .map(r => (r.getString(1).toLong, r.getBoolean(2))).toMap
@@ -408,6 +411,11 @@ class Round2Spec extends SparkSpecBase {
     needles.foreach { case (id, text) =>
       assert(got(id) == hay.contains(text), s"needle $id")
     }
+    // hot/cold path equality: an all-cold run (cap above the group
+    // size) produces the identical result set
+    val allCold = ExactSubstring.containmentPairs(cands, docs, hotCap = 20000)
+      .collect().map(r => (r.getString(1).toLong, r.getBoolean(2))).toMap
+    assert(allCold == got)
   }
 
   test("prefix-filtered exact Jaccard: identical pair set, fewer candidates on boilerplate skew") {
