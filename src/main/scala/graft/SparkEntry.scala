@@ -221,6 +221,12 @@ object SparkEntry {
       Serving.counts(docs(s, dir), edges(s, dir), relatedMin = 0.5, dupMin = 0.8)),
     "q_list_by_match_count" -> ((s, dir) =>
       Serving.listByMatchCount(docs(s, dir), edges(s, dir), limit = 20)),
+    // the DUPLICATES-sort variant (files.py:141-147): hit counts over
+    // close matches only (similarity >= 0.8 — the duplicate_distance
+    // analog), same ordering + pagination contract
+    "q_list_by_dup_count" -> ((s, dir) =>
+      Serving.listByMatchCount(docs(s, dir), edges(s, dir), limit = 20,
+        minSim = 0.8)),
     "q_nhop_cluster" -> ((s, dir) => {
       val e = edges(s, dir).localCheckpoint(true)
       val seed = e.agg(min(col("id_a"))).head.getLong(0)
@@ -725,6 +731,16 @@ object SparkEntry {
     "q_list_by_match_count" ->
       (s"WITH $pairsCte, e AS (SELECT doc_id_a AS doc_id FROM pairs " +
         "UNION ALL SELECT doc_id_b FROM pairs), " +
+        "cnt AS (SELECT doc_id, count(*) AS hit_count FROM e GROUP BY 1), " +
+        "j AS (SELECT d.doc_id, coalesce(cnt.hit_count, 0) AS hit_count " +
+        "      FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id), " +
+        "r AS (SELECT doc_id, hit_count, row_number() OVER " +
+        "      (ORDER BY hit_count DESC, doc_id ASC) AS rn FROM j) " +
+        "SELECT doc_id, hit_count FROM r WHERE rn <= 20"),
+    "q_list_by_dup_count" ->
+      (s"WITH $pairsCte, e AS (SELECT doc_id_a AS doc_id FROM pairs " +
+        "WHERE jaccard >= 0.8 " +
+        "UNION ALL SELECT doc_id_b FROM pairs WHERE jaccard >= 0.8), " +
         "cnt AS (SELECT doc_id, count(*) AS hit_count FROM e GROUP BY 1), " +
         "j AS (SELECT d.doc_id, coalesce(cnt.hit_count, 0) AS hit_count " +
         "      FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id), " +

@@ -41,11 +41,18 @@ object Serving {
   /** O2/J6 list-files sort by match count (outer join + group,
     * `db/access/files.py:129-153`): every doc with its hit count,
     * ordered by hit_count desc then doc_id asc, offset/limit pagination
-    * (`files.py:91-92` — determinism via the full sort key).
+    * (`files.py:91-92` — determinism via the full sort key). `minSim`
+    * is the RELATED/DUPLICATES sort threshold (`files.py:141-147`:
+    * the outer-joined countable match carries `distance < threshold`,
+    * so "sort by duplicates" counts only close matches) — 0.0 counts
+    * every edge.
     */
   def listByMatchCount(docs: DataFrame, edges: DataFrame,
-                       limit: Int = 20, offset: Int = 0): DataFrame = {
-    val cnt = bothDirections(edges).groupBy(col("src").as("doc_id"))
+                       limit: Int = 20, offset: Int = 0,
+                       minSim: Double = 0.0): DataFrame = {
+    val cnt = bothDirections(edges)
+      .where(col("similarity") >= minSim)
+      .groupBy(col("src").as("doc_id"))
       .agg(count(lit(1)).as("hit_count"))
     val joined = docs.select(col("id").as("doc_id"))
       .join(cnt, Seq("doc_id"), "left_outer")

@@ -89,6 +89,12 @@ class ServingAndGraphSpec extends SparkSpecBase {
     val page2 = Serving.listByMatchCount(docs, e, limit = 2, offset = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(page2.toSeq == Seq((3L, 2L), (4L, 0L)))
+    // DUPLICATES-sort threshold (files.py:141-147): only close matches
+    // count — edge (1,2) at 0.95 survives minSim=0.92, the 0.9s drop
+    val e2 = edgeDf(Seq((1L, 2L, 0.95), (1L, 3L, 0.9), (2L, 3L, 0.9)))
+    val dup = Serving.listByMatchCount(docs, e2, limit = 4, minSim = 0.92)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dup.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 0L), (4L, 0L)))
   }
 
   test("connected components on disjoint unions, chains, cliques (local AND distributed paths)") {
