@@ -467,6 +467,14 @@ object Embeddings {
   * parquet read. Training is deterministic
   * ([[Embeddings.trainIvfCentroids]]), so a cache hit is bit-identical
   * to a fresh train.
+  *
+  * Staleness guard: the store carries a corpus FINGERPRINT (row count +
+  * order-independent xxhash64 fold of the ids), and a DISK hit
+  * revalidates it against the live corpus — a regenerated corpus under
+  * a reused tag FAILS LOUDLY instead of silently probing stale
+  * centroids. The fingerprint is one ids-only column aggregate, far
+  * cheaper than the sample-collect + Lloyd it replaces; in-JVM memo
+  * hits trust the session and skip even that.
   */
 object IvfCentroidStore {
   import graft.store.{TxEntry, TxLog}
@@ -474,11 +482,18 @@ object IvfCentroidStore {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 
+  /** (row count, order-independent id-hash fold) of the corpus. */
+  private def fingerprint(emb: DataFrame): (Long, Long) = {
+    val r = emb.agg(count(lit(1)), expr("bit_xor(xxhash64(id))")).head
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   /** Centroids for `(storeDir, tag)`: memo hit, else committed store
-    * read, else train + atomic publish. Concurrent first-callers may
-    * both train (deterministic, so both commits carry identical bytes;
-    * the TxLog append keeps exactly one readable winner per entry set —
-    * we read our own result either way).
+    * read (fingerprint-validated), else train + atomic publish.
+    * Concurrent first-callers may both train (deterministic, so both
+    * commits carry identical bytes; the TxLog append keeps exactly one
+    * readable winner per entry set — we read our own result either
+    * way).
     */
   def loadOrTrain(emb: DataFrame, storeDir: String, tag: String,
                   nCells: Int = 0, iters: Int = 5,
@@ -490,18 +505,28 @@ object IvfCentroidStore {
     val log = new TxLog(s"$storeDir/tag=$tag")
     val cents = log.read(spark) match {
       case Some(df) =>
-        df.select(col("cell"), col("vec")).collect()
-          .sortBy(_.getInt(0))
-          .map(_.getSeq[Float](1).toArray)
+        val rows = df.select(col("cell"), col("vec"), col("fp_n"), col("fp_hash"))
+          .collect().sortBy(_.getInt(0))
+        val (liveN, liveHash) = fingerprint(emb)
+        val (storedN, storedHash) = (rows.head.getLong(2), rows.head.getLong(3))
+        if (storedN != liveN || storedHash != liveHash)
+          throw new IllegalStateException(
+            s"IVF centroid store '$tag' at $storeDir was trained on a " +
+              s"different corpus (stored n=$storedN hash=$storedHash, live " +
+              s"n=$liveN hash=$liveHash). Tags name ONE corpus version — " +
+              "use a fresh tag for the regenerated corpus, or delete the " +
+              "stale store to retrain.")
+        rows.map(_.getSeq[Float](1).toArray)
       case None =>
         val cells =
           if (nCells > 0) nCells
           else Embeddings.ivfCellCount(emb.count(), sampleCap)
         val trained = Embeddings.trainIvfCentroids(emb, cells, iters, sampleCap)
+        val (fpN, fpHash) = fingerprint(emb)
         val dir = log.newDataDir()
         import spark.implicits._
-        trained.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
-          .toDF("cell", "vec")
+        trained.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq, fpN, fpHash) }
+          .toDF("cell", "vec", "fp_n", "fp_hash")
           .coalesce(1)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(dir.getPath)

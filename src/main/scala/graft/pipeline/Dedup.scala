@@ -413,8 +413,11 @@ object Dedup {
     * partition before the exchange; the flag-back join is a join, which
     * AQE's skew handling can split across tasks. A WindowExec can never
     * be split and buffers the whole mega-group per task — that hazard
-    * class is structurally gone. (NaN quality: the agg sorts NaN last
-    * among winners rather than first; F9-scrub quality upstream.)
+    * class is structurally gone. NULL and NaN quality both sort LAST
+    * (the old window's `desc` nulls-last contract): the negated sort
+    * key coalesces null to +Inf, and NaN already orders above every
+    * number — a null-quality (e.g. null-text) doc can never beat a
+    * scored sibling for keeper.
     *
     * @param docs     (id, text, ...) document table
     * @param clusters (id, cluster_id) from [[clusters]]
@@ -426,9 +429,13 @@ object Dedup {
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
     // min over (-quality, id) == (max quality, ties by min id): the
     // exact ordering the old window used, as one partial-aggregatable
-    // struct-min
+    // struct-min; null quality -> +Inf so it sorts LAST like the
+    // window's desc-nulls-last (a null field would otherwise sort
+    // FIRST in struct comparison and win the cluster)
     val winner = scored.groupBy("cluster_id")
-      .agg(min(struct((-col("quality").cast("double")).as("nq"),
+      .agg(min(struct(
+        coalesce(-col("quality").cast("double"),
+          lit(Double.PositiveInfinity)).as("nq"),
         col("id").as("id"))).as("w"))
       .select(col("cluster_id"), col("w.id").as("keep_id"))
     scored.join(winner, "cluster_id")

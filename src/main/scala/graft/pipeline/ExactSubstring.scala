@@ -147,9 +147,13 @@ object ExactSubstring {
     def pairRowsOf(orientedSide: DataFrame): DataFrame =
       orientedSide.join(needleTexts, "needle_id")
         .select(col("hay_id"), col("id_a"), col("id_b"), col("needle_text"))
-    // 3. measured hot split: ids-only count per hay, hot set broadcast
-    val hotHays = oriented.groupBy("hay_id").agg(count(lit(1)).as("n"))
+    // 3. measured hot split: ids-only count per hay, hot set broadcast.
+    //    Checkpointed when eager: it feeds the isEmpty probe plus three
+    //    broadcast consumers (anti/semi/semi) — lazy, the aggregation
+    //    would re-run once per consumer.
+    val hotHays0 = oriented.groupBy("hay_id").agg(count(lit(1)).as("n"))
       .where(col("n") > hotCap).select("hay_id")
+    val hotHays = if (materialize) hotHays0.localCheckpoint(true) else hotHays0
     val hayTexts = docs.select(col("id").cast("string").as("hay_id"),
       col("text").as("hay_text"))
     // 4a. cold hays (bounded groups): collect_list + one join per group

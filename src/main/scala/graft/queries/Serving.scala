@@ -50,8 +50,13 @@ object Serving {
   def listByMatchCount(docs: DataFrame, edges: DataFrame,
                        limit: Int = 20, offset: Int = 0,
                        minSim: Double = 0.0): DataFrame = {
-    val cnt = bothDirections(edges)
-      .where(col("similarity") >= minSim)
+    // filter only when a threshold was actually requested: at the
+    // default 0.0 a null-similarity edge must keep counting (null >= 0
+    // is null -> dropped), exactly as before the threshold existed
+    val both = bothDirections(edges)
+    val thresholded =
+      if (minSim > 0.0) both.where(col("similarity") >= minSim) else both
+    val cnt = thresholded
       .groupBy(col("src").as("doc_id"))
       .agg(count(lit(1)).as("hit_count"))
     val joined = docs.select(col("id").as("doc_id"))

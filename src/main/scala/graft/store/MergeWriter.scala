@@ -54,12 +54,29 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
     * compaction (which stamps rows with maxBatch) followed by a retried
     * upsert of batchId == maxBatch: the retry's entry sits later in the
     * manifest and must win, whatever values it carries.
+    *
+    * ONE multi-path parquet scan (same as a plain snapshot read — a
+    * per-entry read + union chain would cost O(entries) driver-side
+    * footer resolutions and a hundreds-deep plan on an un-compacted
+    * streaming store); each row's entry index comes from mapping
+    * `input_file_name()`'s `data/<uuid>` segment through a broadcast
+    * lookup. Left join + -1 default so an unmappable file (impossible
+    * under the newDataDir layout) degrades to lowest tiebreak priority
+    * rather than silently dropping rows.
     */
-  private def readWithSeq(snap: TxSnapshot): DataFrame =
-    snap.entries.zipWithIndex.map { case (e, i) =>
-      spark.read.parquet(new java.io.File(log.root, e.path).getPath)
-        .withColumn("_seq", lit(i.toLong))
-    }.reduce(_.unionByName(_))
+  private def readWithSeq(snap: TxSnapshot): DataFrame = {
+    import spark.implicits._
+    val raw = log.readSnapshot(spark, snap)
+    val lookup = snap.entries.zipWithIndex
+      .map { case (e, i) => (e.path.split("/")(1), i.toLong) }
+      .toDF("_dir", "_entry_seq")
+    raw
+      .withColumn("_dir",
+        regexp_extract(input_file_name(), "/data/([^/]+)/", 1))
+      .join(broadcast(lookup), Seq("_dir"), "left")
+      .withColumn("_seq", coalesce(col("_entry_seq"), lit(-1L)))
+      .drop("_dir", "_entry_seq")
+  }
 
   private def resolveLastWriter(snap: TxSnapshot): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -64,14 +64,20 @@ final class TxLog(val root: String) {
   /** Has any version ever been committed? */
   def exists: Boolean = currentVersion() >= 0
 
-  /** Latest committed version, −1 if none. */
-  def currentVersion(): Long =
+  /** Retained manifest files, (version, file), ascending by version —
+    * the ONE listing used by currentVersion/vacuum/history.
+    */
+  private def listManifests(): Array[(Long, File)] =
     Option(logDir.listFiles()).getOrElse(Array.empty)
       .flatMap(f => f.getName match {
-        case manifestName(v) => Some(v.toLong)
+        case manifestName(v) => Some((v.toLong, f))
         case _               => None
       })
-      .foldLeft(-1L)(math.max)
+      .sortBy(_._1)
+
+  /** Latest committed version, −1 if none. */
+  def currentVersion(): Long =
+    listManifests().foldLeft(-1L) { case (m, (v, _)) => math.max(m, v) }
 
   /** The latest committed snapshot (version −1, no entries, if the
     * table has never been committed to). A partially-written manifest
@@ -158,11 +164,7 @@ final class TxLog(val root: String) {
     */
   def vacuum(keepVersions: Int = 1, orphanGraceMs: Long = 600000L): Unit = {
     require(keepVersions >= 1, "must keep at least the current version")
-    val manifests = Option(logDir.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => f.getName match {
-        case manifestName(v) => Some((v.toLong, f))
-        case _               => None
-      }).sortBy(_._1)
+    val manifests = listManifests()
     if (manifests.isEmpty) return
     val (dropM, keepM) =
       manifests.splitAt(math.max(0, manifests.length - keepVersions))
@@ -189,25 +191,15 @@ final class TxLog(val root: String) {
     * Vacuumed-past versions are simply absent.
     */
   def history(): Seq[(Long, String, Int)] =
-    Option(logDir.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => f.getName match {
-        case manifestName(v) => Some((v.toLong, f))
-        case _               => None
-      })
-      .sortBy(_._1)
-      .map { case (v, f) =>
-        val j = org.json4s.jackson.JsonMethods.parse(
-          new String(Files.readAllBytes(f.toPath), UTF_8))
-        val op = j \ "op" match {
-          case org.json4s.JString(s) => s
-          case _                     => "unknown"
-        }
-        val n = j \ "entries" match {
-          case org.json4s.JArray(items) => items.size
-          case _                        => 0
-        }
-        (v, op, n)
-      }.toSeq
+    listManifests().map { case (v, f) =>
+      val text = new String(Files.readAllBytes(f.toPath), UTF_8)
+      val snap = parseManifest(text) // same strictness as reads
+      val op = org.json4s.jackson.JsonMethods.parse(text) \ "op" match {
+        case org.json4s.JString(s) => s
+        case _                     => "unknown"
+      }
+      (v, op, snap.entries.size)
+    }.toSeq
 
   /** Latest table contents, or None when the table is genuinely empty
     * (no committed version / no live entries). Anything else — a

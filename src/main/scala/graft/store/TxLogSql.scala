@@ -36,7 +36,9 @@ object TxLogSql {
   def pinViewLatest(spark: SparkSession, viewName: String,
                     storePath: String, keys: Seq[String]): Unit = {
     val w = new MergeWriter(spark, storePath, keys)
-    pinView(spark, viewName, storePath, keys, w.txLog.currentVersion())
+    val v = w.txLog.currentVersion()
+    require(v >= 0, s"store at $storePath has no committed version to pin")
+    pinView(spark, viewName, storePath, keys, v)
   }
 
   /** Commit history of a raw TxLog table root as a DataFrame

@@ -427,12 +427,24 @@ class ResumeStreamingAnnSpec extends SparkSpecBase {
     val fresh = Embeddings.trainIvfCentroids(emb, nCells = 8)
     val c1 = IvfCentroidStore.loadOrTrain(emb, store, "t1", nCells = 8)
     assert(same(c1, fresh), "stored centroids must equal a fresh train")
-    // memo hit: a schema-less bogus frame would explode if training ran
-    val bogus = Seq(Tuple1(1L)).toDF("id")
+    // memo hit: a schema-less bogus frame would explode if training
+    // (or even the fingerprint) ran
+    val bogus = Seq(Tuple1("x")).toDF("wrong")
     assert(same(IvfCentroidStore.loadOrTrain(bogus, store, "t1"), fresh))
-    // disk hit across "sessions" (memo wiped): still no retraining
+    // disk hit across "sessions" (memo wiped): fingerprint-validated
+    // (ids only), still no retraining — an ids-only frame has no
+    // embedding column, so Lloyd would throw if it ran
     IvfCentroidStore.clearMemo()
-    assert(same(IvfCentroidStore.loadOrTrain(bogus, store, "t1"), fresh))
+    val idsOnly = emb.select("id")
+    assert(same(IvfCentroidStore.loadOrTrain(idsOnly, store, "t1"), fresh))
+    // stale-corpus guard: same tag, DIFFERENT corpus ids -> loud failure
+    // instead of silently probing stale centroids
+    IvfCentroidStore.clearMemo()
+    val otherCorpus = emb.withColumn("id", col("id") + 1000000L)
+    val ex = intercept[IllegalStateException] {
+      IvfCentroidStore.loadOrTrain(otherCorpus, store, "t1")
+    }
+    assert(ex.getMessage.contains("different corpus"))
     // end-to-end: cached query == fresh-quantizer query, bit for bit
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet

@@ -470,6 +470,26 @@ class Round2Spec extends SparkSpecBase {
     assert(got(2L)._2 && !got(1L)._2 && !got(3L)._2)
   }
 
+  test("keepList: null quality sorts LAST (a null-text doc never beats a scored sibling for keeper)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // doc 8's quality is NULL (the old window's desc put nulls last; the
+    // argmax must preserve that — a naive min(struct) would sort the
+    // null field FIRST and crown the garbage doc)
+    val docs = Seq((7L, Some(0.4)), (8L, None), (9L, Some(0.2)))
+      .toDF("id", "q")
+    val clusters = Seq((7L, 7L), (8L, 7L), (9L, 7L)).toDF("id", "cluster_id")
+    val got = Dedup.keepList(docs, clusters, col("q"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(got == Map(7L -> true, 8L -> false, 9L -> false))
+    // all-null cluster: ties broken by min id, exactly one keeper
+    val docs2 = Seq((7L, None: Option[Double]), (8L, None)).toDF("id", "q")
+    val clusters2 = Seq((7L, 7L), (8L, 7L)).toDF("id", "cluster_id")
+    val got2 = Dedup.keepList(docs2, clusters2, col("q"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(got2 == Map(7L -> true, 8L -> false))
+  }
+
   test("keepList mega-cluster: no WindowExec, map-side partial argmax, correct keeper on a 50k-member cluster") {
     val spark2 = spark
     import spark2.implicits._
