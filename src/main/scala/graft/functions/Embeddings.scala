@@ -503,8 +503,28 @@ object IvfCentroidStore {
     if (hit != null) return hit
     val spark = emb.sparkSession
     val log = new TxLog(s"$storeDir/tag=$tag")
+    def train(): Array[Array[Float]] = {
+      val cells =
+        if (nCells > 0) nCells
+        else Embeddings.ivfCellCount(emb.count(), sampleCap)
+      val trained = Embeddings.trainIvfCentroids(emb, cells, iters, sampleCap)
+      val (fpN, fpHash) = fingerprint(emb)
+      val dir = log.newDataDir()
+      import spark.implicits._
+      trained.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq, fpN, fpHash) }
+        .toDF("cell", "vec", "fp_n", "fp_hash")
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(dir.getPath)
+      // replaceBatch: a concurrent first-caller's identical commit (or
+      // a superseded legacy-format entry) is replaced, not duplicated —
+      // the table always holds ONE entry
+      log.commitAppend(Seq(TxEntry(log.relativize(dir), 0L)),
+        replaceBatch = Some(0L), op = "centroids"): Unit
+      trained
+    }
     val cents = log.read(spark) match {
-      case Some(df) =>
+      case Some(df) if df.columns.contains("fp_n") =>
         val rows = df.select(col("cell"), col("vec"), col("fp_n"), col("fp_hash"))
           .collect().sortBy(_.getInt(0))
         val (liveN, liveHash) = fingerprint(emb)
@@ -517,24 +537,12 @@ object IvfCentroidStore {
               "use a fresh tag for the regenerated corpus, or delete the " +
               "stale store to retrain.")
         rows.map(_.getSeq[Float](1).toArray)
+      case Some(_) =>
+        // legacy pre-fingerprint store: no way to validate it against
+        // the live corpus — retrain (deterministic) and replace
+        train()
       case None =>
-        val cells =
-          if (nCells > 0) nCells
-          else Embeddings.ivfCellCount(emb.count(), sampleCap)
-        val trained = Embeddings.trainIvfCentroids(emb, cells, iters, sampleCap)
-        val (fpN, fpHash) = fingerprint(emb)
-        val dir = log.newDataDir()
-        import spark.implicits._
-        trained.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq, fpN, fpHash) }
-          .toDF("cell", "vec", "fp_n", "fp_hash")
-          .coalesce(1)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(dir.getPath)
-        // replaceBatch: a concurrent first-caller's identical commit is
-        // replaced, not duplicated — the table always holds ONE entry
-        log.commitAppend(Seq(TxEntry(log.relativize(dir), 0L)),
-          replaceBatch = Some(0L), op = "centroids"): Unit
-        trained
+        train()
     }
     memo.put(key, cents)
     cents

@@ -138,7 +138,10 @@ object Serving {
     * matches) + metadata-presence semi/anti filter (`files.py:170-180`:
     * `Files.exif.has()` / `~has()` against the exif satellite — here a
     * metadata table keyed by url, e.g. [[graft.functions.PageMetadata]]
-    * output) + date-range filter (`files.py:192-203`) over a pages-like
+    * output; the reference's audio-presence filter `files.py:182-190`
+    * — `exif.has(Audio_Duration > 0)` — is this same filter with the
+    * metadata table pre-filtered on the media predicate) + date-range
+    * filter (`files.py:192-203`) over a pages-like
     * table, composed from a filter spec; metadata sort (`files.py:147-152`
     * — the exif-duration/date sort analog): columns prefixed '-' sort
     * descending, url appended as the deterministic tiebreaker, applied

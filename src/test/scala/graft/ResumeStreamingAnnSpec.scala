@@ -445,6 +445,22 @@ class ResumeStreamingAnnSpec extends SparkSpecBase {
       IvfCentroidStore.loadOrTrain(otherCorpus, store, "t1")
     }
     assert(ex.getMessage.contains("different corpus"))
+    // legacy pre-fingerprint store (cell/vec only): unvalidatable ->
+    // self-heals by retraining + replace commit, not an unresolved-
+    // column error
+    val legacyLog = new graft.store.TxLog(s"$store/tag=legacy")
+    val legacyDir = legacyLog.newDataDir()
+    Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f))).toDF("cell", "vec")
+      .coalesce(1).write.parquet(legacyDir.getPath)
+    legacyLog.commitAppend(Seq(graft.store.TxEntry(
+      legacyLog.relativize(legacyDir), 0L)), op = "centroids")
+    IvfCentroidStore.clearMemo()
+    val healed = IvfCentroidStore.loadOrTrain(emb, store, "legacy", nCells = 8)
+    assert(same(healed, fresh), "legacy store must retrain to fresh centroids")
+    // and the store is now upgraded: a second cold load validates
+    IvfCentroidStore.clearMemo()
+    assert(same(IvfCentroidStore.loadOrTrain(emb.select("id"), store, "legacy"),
+      fresh))
     // end-to-end: cached query == fresh-quantizer query, bit for bit
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet

@@ -233,6 +233,14 @@ class Round2Spec extends SparkSpecBase {
     assert(urls(Serving.listFiles(pages, extensions = Seq("html"),
       metaTable = Some(meta), hasMeta = Some(false))) ==
       Set("u/e.snapshot.html"))
+    // the audio-presence filter (files.py:182-190, exif.has(pred)) is
+    // the same semi join with the metadata table pre-filtered on the
+    // media predicate
+    val metaTyped = Seq(("u/a.html", 2L), ("u/c.png", 0L))
+      .toDF("url", "n_media_tags")
+    assert(urls(Serving.listFiles(pages,
+      metaTable = Some(metaTyped.where(col("n_media_tags") > 0)),
+      hasMeta = Some(true))) == Set("u/a.html"))
     // asking for the presence filter without a table fails loudly
     intercept[RuntimeException] {
       Serving.listFiles(pages, hasMeta = Some(true))
