@@ -382,11 +382,14 @@ object SparkEntry {
       val e = embeddings(s, dir).select(col("vec_id").as("id"), col("embedding"))
       // train-once centroid store (round-3 verdict #6): tag = corpus
       // dir + training params; training is deterministic, so cache hits
-      // are bit-identical to a fresh train (fixture unchanged)
-      val tag = s"${new java.io.File(dir).getName}-c8-i5-s10000"
+      // are bit-identical to a fresh train. nCells = 0 exercises the
+      // DOCUMENTED production sizing (√n cells — SCALE.md §5): the
+      // round-3 hand-pinned 8 cells probed half the corpus per query,
+      // an O(n²/4) candidate volume the rule exists to avoid.
+      val tag = s"${new java.io.File(dir).getName}-cauto-p4-i5-s10000"
       Embeddings.ivfTopKCached(e, k = 5,
         storeDir = s"${sys.props("java.io.tmpdir")}/graft_ivf_store",
-        tag = tag, nCells = 8, nProbe = 4)
+        tag = tag, nCells = 0, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"), col("rank"))
     }),
