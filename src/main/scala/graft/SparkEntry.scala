@@ -27,6 +27,55 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
 
+  /** Events ingested into a [[graft.store.TxLog]] table with ONE commit
+    * per UTC week, each stamped with min/max `ts` stats — the layout a
+    * time-cadenced streaming ingest naturally produces, and the setup
+    * for the manifest-level file-skipping query (q_txlog_prune). Built
+    * once per sf dir (atomic rename publish; a concurrent builder loses
+    * the race and reuses the winner); a row-count mismatch vs the
+    * source (stale/partial leftover) rebuilds rather than serving wrong
+    * data. The distinct-week collect is bounded by the corpus time span
+    * (weeks, not rows).
+    */
+  private[graft] def eventsTxLog(s: SparkSession, dir: String): graft.store.TxLog = {
+    import graft.store.TxLog
+    val ev = events(s, dir)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_events_txlog/" +
+      new java.io.File(dir).getName
+    def current = new TxLog(root)
+    // reuse only a complete, stats-bearing build (a leftover from an
+    // older code version without ts stats must rebuild, not silently
+    // serve with skipping disabled)
+    val ok = current.exists &&
+      current.snapshot().entries.forall(_.stats.contains("ts")) &&
+      current.read(s).exists(_.count() == ev.count())
+    if (!ok) {
+      def deleteDir(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteDir)
+        f.delete(): Unit
+      }
+      val rootF = new java.io.File(root)
+      if (rootF.exists()) deleteDir(rootF) // stale/partial leftover
+      val build = new java.io.File(
+        s"$root.build-${java.util.UUID.randomUUID()}")
+      val bl = new TxLog(build.getPath)
+      val weeks = ev.select(date_trunc("week", col("ts")).as("w"))
+        .distinct().orderBy("w").collect().map(_.getTimestamp(0))
+      weeks.foreach { w =>
+        bl.writeAppend(ev.where(date_trunc("week", col("ts")) === lit(w)),
+          batch = -1L, statsCols = Seq("ts")): Unit
+      }
+      java.nio.file.Files.createDirectories(rootF.toPath.getParent)
+      try java.nio.file.Files.move(build.toPath, rootF.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException =>
+        // another builder won the publish race — use theirs
+        deleteDir(build)
+      }
+    }
+    current
+  }
+
   /** Planted visual near-dup corpus over the documents ids (group =
     * doc_id/5, per-member noise = doc_id%5+1) — ONE definition shared by
     * the q_media_dedup query, DumpPlans and Profile: the scheme is
@@ -422,6 +471,25 @@ object SparkEntry {
           col("ts") < lit("2024-01-17 00:00:00"))
         .groupBy("event_type").agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"))),
+    // the same time-window read served from a TxLog table via
+    // manifest-level min/max file skipping (TxLog.readRange — the
+    // Iceberg skip-scan analog): only the commits whose ts stats
+    // intersect the window are opened; the row filter then applies the
+    // exact bounds. Result is pruning-independent by construction —
+    // the DuckDB oracle over the raw events table proves it.
+    "q_txlog_prune" -> ((s, dir) => {
+      // the events ts column is TIMESTAMP_NTZ — probe in the same
+      // wall-clock domain (a zoned Instant probe would be incomparable
+      // and disable the skipping)
+      val lo = java.time.LocalDateTime.parse("2024-01-10T00:00:00")
+      val hi = java.time.LocalDateTime.parse("2024-01-17T00:00:00")
+      eventsTxLog(s, dir).readRange(s, "ts", Some(lo), Some(hi))
+        .getOrElse(sys.error("events txlog table is empty"))
+        .where(col("ts") >= lit("2024-01-10 00:00:00") &&
+          col("ts") < lit("2024-01-17 00:00:00"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("total_value"))
+    }),
     // visual near-dup dedup over deterministic synthetic media (planted
     // groups of 5 pixel-perturbed variants per base image): exercises the
     // REAL decode -> frame-feature -> embedding -> cosine-pair path
@@ -870,6 +938,10 @@ object SparkEntry {
         "round(sum(value), 4) AS total_value FROM events GROUP BY 1, 2"),
     "q_incremental_window" ->
       ("SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users " +
+        "FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' " +
+        "AND ts < TIMESTAMP '2024-01-17 00:00:00' GROUP BY 1"),
+    "q_txlog_prune" ->
+      ("SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value " +
         "FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' " +
         "AND ts < TIMESTAMP '2024-01-17 00:00:00' GROUP BY 1"),
     "q1_agg" ->

@@ -8,12 +8,26 @@ import scala.annotation.tailrec
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** Per-column min/max statistics for one committed data directory —
+  * the Iceberg manifest `lower_bounds`/`upper_bounds` analog (what lets
+  * a 100-TB table answer a time-window or key-range query by opening a
+  * handful of files). Values are canonical strings tagged with a
+  * comparison domain: `long`, `double`, `timestamp` (epoch micros),
+  * `date` (epoch days), `string` (lexicographic). A column absent from
+  * an entry's map means "unknown" — pruning keeps such entries, so
+  * stats are always an optimization, never a correctness input.
+  */
+final case class ColStats(typ: String, min: String, max: String)
+
 /** One committed data directory: `path` is relative to the table root
   * (always under `data/`), `batch` is the logical writer batch id
   * (−1 for plain appends). The `_batch` COLUMN inside the files carries
-  * the same id for read-time last-writer-wins resolution.
+  * the same id for read-time last-writer-wins resolution. `stats`
+  * optionally carries per-column min/max bounds for manifest-level
+  * file skipping ([[TxLog.pruneRange]]).
   */
-final case class TxEntry(path: String, batch: Long)
+final case class TxEntry(path: String, batch: Long,
+                         stats: Map[String, ColStats] = Map.empty)
 
 /** An immutable view of the table at one committed version. */
 final case class TxSnapshot(version: Long, entries: Vector[TxEntry])
@@ -218,6 +232,69 @@ final class TxLog(val root: String) {
     spark.read.parquet(liveDirs(snap): _*)
   }
 
+  /** Stage `df` into a fresh data directory and commit it as an append,
+    * optionally stamping per-column min/max stats on `statsCols`
+    * (computed by reading back only those columns of the just-written
+    * files — footer-cheap relative to the write). Returns the committed
+    * version.
+    */
+  def writeAppend(df: DataFrame, batch: Long = -1L,
+                  statsCols: Seq[String] = Nil): Long = {
+    val dir = newDataDir()
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir.getPath)
+    val stats =
+      if (statsCols.isEmpty) Map.empty[String, ColStats]
+      else TxLog.statsOf(df.sparkSession, dir.getPath, statsCols)
+    commitAppend(Seq(TxEntry(relativize(dir), batch, stats)))
+  }
+
+  /** Manifest-level file skipping: the entries of `snap` that can
+    * contain rows with `column` in [lo, hi] (either bound optional,
+    * both inclusive — pruning bounds DIRECTORIES; the caller still
+    * applies the exact row-level predicate). Entries without stats for
+    * the column, and stats whose domain is incomparable with the probe
+    * value, are KEPT — skipping is never lossy. Probe values must be
+    * encodable (long/double/string/timestamp/date families); anything
+    * else is a caller bug and fails loudly.
+    */
+  def pruneRange(snap: TxSnapshot, column: String,
+                 lo: Option[Any], hi: Option[Any]): Vector[TxEntry] = {
+    def enc(v: Any): (String, String) = TxLog.encodeValue(v).getOrElse(
+      sys.error(s"pruneRange: unsupported probe value class ${v.getClass}"))
+    val loE = lo.map(enc)
+    val hiE = hi.map(enc)
+    snap.entries.filter { e =>
+      e.stats.get(column) match {
+        case None => true
+        case Some(cs) =>
+          // keep iff NOT (entry.max < lo) and NOT (entry.min > hi);
+          // incomparable domains (None from cmp) keep the entry
+          val geLo = loE.forall { case (t, v) =>
+            TxLog.cmp(cs.typ, cs.max, t, v).forall(_ >= 0) }
+          val leHi = hiE.forall { case (t, v) =>
+            TxLog.cmp(cs.typ, cs.min, t, v).forall(_ <= 0) }
+          geLo && leHi
+      }
+    }
+  }
+
+  /** Snapshot-isolated read of only the data directories whose stats
+    * can intersect [lo, hi] on `column` — the Iceberg-style skip-scan.
+    * When every entry is pruned, one directory is still read so the
+    * caller gets the table schema (its row filter then yields the
+    * correct empty result); None only when the table itself is empty.
+    */
+  def readRange(spark: SparkSession, column: String,
+                lo: Option[Any], hi: Option[Any]): Option[DataFrame] = {
+    val snap = snapshot()
+    if (snap.entries.isEmpty) None
+    else {
+      val kept = pruneRange(snap, column, lo, hi)
+      Some(readEntries(spark,
+        if (kept.nonEmpty) kept else snap.entries.take(1)))
+    }
+  }
+
   /** Read only the given entries (e.g. the delta since a remembered
     * version's path set).
     */
@@ -281,9 +358,23 @@ final class TxLog(val root: String) {
       p.matches("""data/[A-Za-z0-9._\-/=]+"""),
       s"unsafe table-relative path: $p")
 
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   private def render(version: Long, op: String, entries: Seq[TxEntry]): String = {
-    val es = entries.map(e =>
-      s"""{"path":"${e.path}","batch":${e.batch}}""").mkString(",")
+    val es = entries.map { e =>
+      val base = s"""{"path":"${e.path}","batch":${e.batch}"""
+      if (e.stats.isEmpty) base + "}"
+      else {
+        // sorted for deterministic manifests (string-typed bounds can
+        // hold arbitrary data values — e.g. urls — hence the escaping)
+        val ss = e.stats.toSeq.sortBy(_._1).map { case (c, cs) =>
+          s"""${jstr(c)}:{"typ":${jstr(cs.typ)},"min":${jstr(cs.min)},""" +
+            s""""max":${jstr(cs.max)}}"""
+        }.mkString(",")
+        base + s""","stats":{$ss}}"""
+      }
+    }.mkString(",")
     s"""{"version":$version,"op":"$op","entries":[$es]}"""
   }
 
@@ -306,7 +397,20 @@ final class TxLog(val root: String) {
           case JLong(b) => b
           case other    => sys.error(s"bad manifest entry batch: $other")
         }
-        TxEntry(path, batch)
+        // stats are optional (absent in pre-stats manifests); a present
+        // but malformed stats object is corruption and fails loudly
+        val stats = it \ "stats" match {
+          case JNothing => Map.empty[String, ColStats]
+          case JObject(fields) => fields.map { case (name, v) =>
+            def str(k: String): String = v \ k match {
+              case JString(s) => s
+              case other      => sys.error(s"bad manifest stats.$k: $other")
+            }
+            name -> ColStats(str("typ"), str("min"), str("max"))
+          }.toMap
+          case other => sys.error(s"bad manifest entry stats: $other")
+        }
+        TxEntry(path, batch, stats)
       }.toVector
       case other => sys.error(s"bad manifest entries: $other")
     }
@@ -337,4 +441,77 @@ object TxLog {
 
   /** Test seam: force the no-hardlink path without a special fs. */
   @volatile private[graft] var simulateNoHardLinks: Boolean = false
+
+  // --- column-stats encoding (see ColStats) -------------------------------
+
+  private def instantMicros(i: java.time.Instant): Long =
+    Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+      (i.getNano / 1000).toLong)
+
+  /** Canonical (domain, value) encoding shared by the stats writer and
+    * the pruning probe — both sides MUST encode identically or pruning
+    * would compare apples to oranges. Unknown classes encode to None
+    * (no stats / no pruning).
+    */
+  private[store] def encodeValue(v: Any): Option[(String, String)] = v match {
+    case n: Byte                => Some(("long", n.toString))
+    case n: Short               => Some(("long", n.toString))
+    case n: Int                 => Some(("long", n.toString))
+    case n: Long                => Some(("long", n.toString))
+    case n: Float               => Some(("double", n.toDouble.toString))
+    case n: Double              => Some(("double", n.toString))
+    case s: String              => Some(("string", s))
+    case t: java.sql.Timestamp  => Some(("timestamp", instantMicros(t.toInstant).toString))
+    case i: java.time.Instant   => Some(("timestamp", instantMicros(i).toString))
+    // TIMESTAMP_NTZ collects as LocalDateTime; its order is wall-clock,
+    // so it gets its OWN domain (micros at UTC as the canonical number)
+    // — never cross-compared with zoned timestamps
+    case d: java.time.LocalDateTime =>
+      Some(("timestamp_ntz",
+        instantMicros(d.toInstant(java.time.ZoneOffset.UTC)).toString))
+    case d: java.sql.Date       => Some(("date", d.toLocalDate.toEpochDay.toString))
+    case d: java.time.LocalDate => Some(("date", d.toEpochDay.toString))
+    case _                      => None
+  }
+
+  /** Compare an encoded stats bound against an encoded probe value in
+    * the stats' domain; None when the domains are incomparable (the
+    * caller then keeps the entry). `long` and `double` cross-compare
+    * numerically; `timestamp`/`date`/`string` require an exact domain
+    * match (epoch micros vs epoch days vs lexicographic are distinct
+    * orders).
+    */
+  private[store] def cmp(statTyp: String, statVal: String,
+                         probeTyp: String, probeVal: String): Option[Int] = {
+    val numeric = Set("long", "double")
+    (statTyp, probeTyp) match {
+      case (a, b) if a == b && a == "string" =>
+        Some(statVal.compareTo(probeVal))
+      case (a, b) if a == b || (numeric(a) && numeric(b)) =>
+        Some(BigDecimal(statVal).compare(BigDecimal(probeVal)))
+      case _ => None
+    }
+  }
+
+  /** Per-column min/max of a staged data directory, reading back only
+    * the stat columns. Columns that are absent, all-null, or of an
+    * unsupported type simply get no stats (never an error — stats are
+    * an optimization).
+    */
+  def statsOf(spark: SparkSession, dir: String,
+              cols: Seq[String]): Map[String, ColStats] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val df = spark.read.parquet(dir)
+    val present = cols.filter(df.columns.contains)
+    if (present.isEmpty) return Map.empty
+    val aggs = present.flatMap(c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val row = df.select(present.map(col): _*).agg(aggs.head, aggs.tail: _*).head()
+    present.zipWithIndex.flatMap { case (c, i) =>
+      for {
+        mn <- Option(row.get(2 * i)).flatMap(encodeValue)
+        mx <- Option(row.get(2 * i + 1)).flatMap(encodeValue)
+      } yield c -> ColStats(mn._1, mn._2, mx._2)
+    }.toMap
+  }
 }

@@ -8,6 +8,23 @@ class EntrySmokeSpec extends SparkSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q_txlog_prune's skip-scan opens strictly fewer files than the full table") {
+    val dir = "/root/testdata/sf0.001"
+    val log = SparkEntry.eventsTxLog(spark, dir)
+    val lo = java.time.LocalDateTime.parse("2024-01-10T00:00:00")
+    val hi = java.time.LocalDateTime.parse("2024-01-17T00:00:00")
+    val pruned = log.readRange(spark, "ts", Some(lo), Some(hi)).get
+    val full = log.read(spark).get
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"no skipping: ${pruned.inputFiles.length} vs ${full.inputFiles.length}")
+    // and the skip loses no in-window rows
+    val cond = org.apache.spark.sql.functions.col("ts") >=
+      org.apache.spark.sql.functions.lit("2024-01-10 00:00:00") &&
+      org.apache.spark.sql.functions.col("ts") <
+        org.apache.spark.sql.functions.lit("2024-01-17 00:00:00")
+    assert(pruned.where(cond).count() == full.where(cond).count())
+  }
+
   test("every SparkEntry query evaluates at sf0.001 and oracle keys are a subset") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, "/root/testdata/sf0.001").count()

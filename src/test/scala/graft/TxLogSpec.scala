@@ -271,6 +271,101 @@ class TxLogSpec extends SparkSpecBase {
     assert(hist.map(_._3) == Seq(1, 2, 3))
   }
 
+  test("column stats: writeAppend stamps min/max; pruneRange skips disjoint commits, keeps stats-less ones") {
+    val spark2 = spark
+    import spark2.implicits._
+    val log = new TxLog(tmp("txlog-stats"))
+    // three commits with disjoint id ranges + one legacy commit without stats
+    log.writeAppend(Seq((1L, "a"), (9L, "b")).toDF("id", "s"), statsCols = Seq("id"))
+    log.writeAppend(Seq((10L, "c"), (19L, "d")).toDF("id", "s"), statsCols = Seq("id"))
+    log.writeAppend(Seq((20L, "e"), (29L, "f")).toDF("id", "s"), statsCols = Seq("id"))
+    val legacyDir = log.newDataDir()
+    Seq((100L, "z")).toDF("id", "s").write.parquet(legacyDir.getPath)
+    log.commitAppend(Seq(TxEntry(log.relativize(legacyDir), -1L)))
+
+    val snap = log.snapshot()
+    assert(snap.entries.count(_.stats.contains("id")) == 3)
+    assert(snap.entries.exists(_.stats.isEmpty)) // legacy entry round-trips
+
+    // [12, 15] intersects only commit 2 — plus the stats-less legacy entry
+    val kept = log.pruneRange(snap, "id", Some(12L), Some(15L))
+    assert(kept.size == 2)
+    // unknown column prunes nothing
+    assert(log.pruneRange(snap, "nope", Some(0L), Some(1L)).size == 4)
+    // boundary inclusivity: hi == a commit's min keeps it
+    assert(log.pruneRange(snap, "id", Some(0L), Some(10L)).size == 3)
+
+    // readRange + row filter == full read + row filter, both directions
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("id") >= 12 && col("id") <= 15)
+        .collect().map(_.getLong(0)).toSet
+    val pruned = log.readRange(spark, "id", Some(12L), Some(15L)).get
+    assert(rows(pruned) == rows(log.read(spark).get))
+    // the skip is real: fewer parquet files enter the pruned scan
+    assert(pruned.inputFiles.length < log.read(spark).get.inputFiles.length)
+    // fully-disjoint probe: schema survives, result is empty
+    val empty = log.readRange(spark, "id", Some(500L), Some(600L)).get
+    assert(empty.columns.toSeq == Seq("id", "s"))
+    assert(empty.where(col("id") >= 500).count() == 0)
+  }
+
+  test("column stats: timestamp and string domains prune; escaped string bounds round-trip the manifest") {
+    val spark2 = spark
+    import spark2.implicits._
+    val log = new TxLog(tmp("txlog-stats-ts"))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    log.writeAppend(
+      Seq((ts("2024-01-01 00:00:00"), """he said "hi"\path"""),
+        (ts("2024-01-07 23:59:59"), "bbb")).toDF("ts", "s"),
+      statsCols = Seq("ts", "s"))
+    log.writeAppend(
+      Seq((ts("2024-02-01 00:00:00"), "x1"),
+        (ts("2024-02-07 23:59:59"), "x2")).toDF("ts", "s"),
+      statsCols = Seq("ts", "s"))
+
+    val snap = log.snapshot() // re-parsed from disk: escaping round-trip
+    assert(snap.entries.forall(_.stats.contains("s")))
+    // 'b' < 'h': commit 1's string max is the quote/backslash-laden value,
+    // which must survive JSON render -> parse byte-identically
+    assert(snap.entries.flatMap(_.stats.get("s"))
+      .exists(_.max == """he said "hi"\path"""))
+    // probe January only (timestamps encode as epoch micros)
+    val jan = log.pruneRange(snap, "ts",
+      Some(ts("2024-01-03 00:00:00")), Some(ts("2024-01-05 00:00:00")))
+    assert(jan.size == 1)
+    // string-domain probe: only commit 2's ["x1","x2"] intersects [w, z]
+    // (commit 1's range ["bbb", "he said..."] ends before 'w')
+    val sOnly = log.pruneRange(snap, "s", Some("w"), Some("z"))
+    assert(sOnly.size == 1)
+    // incomparable probe domain (long vs timestamp stats) keeps everything
+    assert(log.pruneRange(snap, "ts", Some(5L), Some(6L)).size == 2)
+  }
+
+  test("column stats: TIMESTAMP_NTZ prunes in its own wall-clock domain, zoned probes keep everything") {
+    val spark2 = spark
+    import spark2.implicits._
+    val log = new TxLog(tmp("txlog-stats-ntz"))
+    def ntz(src: org.apache.spark.sql.DataFrame) =
+      src.select(col("ts").cast("timestamp_ntz").as("ts"), col("v"))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    log.writeAppend(ntz(Seq((ts("2024-01-01 00:00:00"), 1),
+      (ts("2024-01-07 00:00:00"), 2)).toDF("ts", "v")), statsCols = Seq("ts"))
+    log.writeAppend(ntz(Seq((ts("2024-02-01 00:00:00"), 3),
+      (ts("2024-02-07 00:00:00"), 4)).toDF("ts", "v")), statsCols = Seq("ts"))
+    val snap = log.snapshot()
+    assert(snap.entries.forall(_.stats.get("ts").exists(_.typ == "timestamp_ntz")))
+    // wall-clock probe (LocalDateTime) prunes to the January commit
+    val jan = log.pruneRange(snap, "ts",
+      Some(java.time.LocalDateTime.parse("2024-01-02T00:00:00")),
+      Some(java.time.LocalDateTime.parse("2024-01-05T00:00:00")))
+    assert(jan.size == 1)
+    // a zoned Instant probe is a DIFFERENT order — incomparable, no pruning
+    val zoned = log.pruneRange(snap, "ts",
+      Some(java.time.Instant.parse("2024-01-02T00:00:00Z")),
+      Some(java.time.Instant.parse("2024-01-05T00:00:00Z")))
+    assert(zoned.size == 2)
+  }
+
   test("no-hardlink filesystems: commit fails loudly unless the unsafe fallback is opted into") {
     val spark2 = spark
     import spark2.implicits._
