@@ -31,11 +31,17 @@ object SparkEntry {
     * per UTC week, each stamped with min/max `ts` stats — the layout a
     * time-cadenced streaming ingest naturally produces, and the setup
     * for the manifest-level file-skipping query (q_txlog_prune). Built
-    * once per sf dir (atomic rename publish; a concurrent builder loses
-    * the race and reuses the winner); a row-count mismatch vs the
-    * source (stale/partial leftover) rebuilds rather than serving wrong
-    * data. The distinct-week collect is bounded by the corpus time span
-    * (weeks, not rows).
+    * once per sf dir and reused only when a CONTENT fingerprint
+    * (count + order-free xxhash64 fold, the IvfCentroidStore pattern)
+    * matches the source — a regenerated corpus with the same row count,
+    * or a different-parent dir sharing a basename, rebuilds instead of
+    * silently serving stale rows. Publish is an atomic rename with a
+    * validity-checked retry: a concurrent builder's VALID table is
+    * reused, never deleted out from under its readers; only a table
+    * that fails the fingerprint is moved aside and removed. The build
+    * caches the source once (one scan feeds the week list and every
+    * weekly commit); the distinct-week collect is bounded by the corpus
+    * time span (weeks, not rows).
     */
   private[graft] def eventsTxLog(s: SparkSession, dir: String): graft.store.TxLog = {
     import graft.store.TxLog
@@ -43,35 +49,61 @@ object SparkEntry {
     val root = s"${sys.props("java.io.tmpdir")}/graft_events_txlog/" +
       new java.io.File(dir).getName
     def current = new TxLog(root)
-    // reuse only a complete, stats-bearing build (a leftover from an
-    // older code version without ts stats must rebuild, not silently
-    // serve with skipping disabled)
-    val ok = current.exists &&
+    def fp(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(event_id, ts))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val want = fp(ev)
+    // reuse only a complete, stats-bearing, content-identical build
+    def ok: Boolean = current.exists &&
       current.snapshot().entries.forall(_.stats.contains("ts")) &&
-      current.read(s).exists(_.count() == ev.count())
+      current.read(s).exists(d => fp(d) == want)
     if (!ok) {
-      def deleteDir(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteDir)
-        f.delete(): Unit
-      }
-      val rootF = new java.io.File(root)
-      if (rootF.exists()) deleteDir(rootF) // stale/partial leftover
-      val build = new java.io.File(
-        s"$root.build-${java.util.UUID.randomUUID()}")
-      val bl = new TxLog(build.getPath)
-      val weeks = ev.select(date_trunc("week", col("ts")).as("w"))
-        .distinct().orderBy("w").collect().map(_.getTimestamp(0))
-      weeks.foreach { w =>
-        bl.writeAppend(ev.where(date_trunc("week", col("ts")) === lit(w)),
-          batch = -1L, statsCols = Seq("ts")): Unit
-      }
-      java.nio.file.Files.createDirectories(rootF.toPath.getParent)
-      try java.nio.file.Files.move(build.toPath, rootF.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileSystemException =>
-        // another builder won the publish race — use theirs
-        deleteDir(build)
-      }
+      val evC = ev.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val build = new java.io.File(
+          s"$root.build-${java.util.UUID.randomUUID()}")
+        val bl = new TxLog(build.getPath)
+        val weeks = evC.select(date_trunc("week", col("ts")).as("w"))
+          .distinct().orderBy("w").collect().map(_.getTimestamp(0))
+        weeks.foreach { w =>
+          bl.writeAppend(evC.where(date_trunc("week", col("ts")) === lit(w)),
+            batch = -1L, statsCols = Seq("ts")): Unit
+        }
+        val rootF = new java.io.File(root)
+        java.nio.file.Files.createDirectories(rootF.toPath.getParent)
+        var staged = Option(build)
+        var attempts = 0
+        while (staged.nonEmpty && attempts < 4) {
+          attempts += 1
+          try {
+            java.nio.file.Files.move(staged.get.toPath, rootF.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            staged = None
+          } catch { case _: java.nio.file.FileSystemException =>
+            if (ok) { // a concurrent builder published a valid table
+              TxLog.deleteRecursively(staged.get); staged = None
+            } else {
+              // occupied by an INVALID table: move it aside atomically
+              // (never a recursive delete of the live path) and retry
+              val aside = new java.io.File(
+                s"$root.stale-${java.util.UUID.randomUUID()}")
+              try {
+                java.nio.file.Files.move(rootF.toPath, aside.toPath,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                TxLog.deleteRecursively(aside)
+              } catch { // lost the aside race to another mover — retry
+                case _: java.nio.file.FileSystemException => ()
+              }
+            }
+          }
+        }
+        staged.foreach { b =>
+          TxLog.deleteRecursively(b)
+          sys.error(s"could not publish events txlog at $root")
+        }
+      } finally { evC.unpersist(); () }
     }
     current
   }

@@ -413,11 +413,14 @@ object Dedup {
     * partition before the exchange; the flag-back join is a join, which
     * AQE's skew handling can split across tasks. A WindowExec can never
     * be split and buffers the whole mega-group per task — that hazard
-    * class is structurally gone. NULL and NaN quality both sort LAST
-    * (the old window's `desc` nulls-last contract): the negated sort
-    * key coalesces null to +Inf, and NaN already orders above every
-    * number — a null-quality (e.g. null-text) doc can never beat a
-    * scored sibling for keeper.
+    * class is structurally gone. NULL and NaN quality both sort LAST:
+    * the negated sort key coalesces null to +Inf (the old window's
+    * desc-nulls-last contract), and NaN orders above every number. For
+    * NaN this is an INTENTIONAL semantic change vs the round-3 window
+    * (Spark's `desc` ranks NaN above all numbers, so a NaN-quality doc
+    * used to WIN its cluster): an unscorable document — null text, or
+    * a NaN score such as cosine on a zero-norm vector — must never
+    * beat a scored sibling for keeper. Pinned by test.
     *
     * @param docs     (id, text, ...) document table
     * @param clusters (id, cluster_id) from [[clusters]]

@@ -71,8 +71,12 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
       .map { case (e, i) => (e.path.split("/")(1), i.toLong) }
       .toDF("_dir", "_entry_seq")
     raw
+      // anchored to the path TAIL: an unanchored "/data/([^/]+)/" would
+      // capture the wrong segment for a store ROOTED under a path that
+      // itself contains /data/ (e.g. /data/graft/sigs), zeroing every
+      // _seq and reopening the nondeterministic equal-batch tiebreak
       .withColumn("_dir",
-        regexp_extract(input_file_name(), "/data/([^/]+)/", 1))
+        regexp_extract(input_file_name(), "/data/([^/]+)/[^/]*$", 1))
       .join(broadcast(lookup), Seq("_dir"), "left")
       .withColumn("_seq", coalesce(col("_entry_seq"), lit(-1L)))
       .drop("_dir", "_entry_seq")
@@ -151,14 +155,9 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
       }
       // a concurrent commit won the version — drop the staged rewrite
       // and recompute against the new snapshot
-      deleteRecursively(dir)
+      TxLog.deleteRecursively(dir)
       attempt += 1
     }
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(): Unit
   }
 }
 

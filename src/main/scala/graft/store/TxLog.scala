@@ -417,10 +417,8 @@ final class TxLog(val root: String) {
     TxSnapshot(version, entries)
   }
 
-  private def deleteRecursively(f: File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(): Unit
-  }
+  private def deleteRecursively(f: File): Unit =
+    TxLog.deleteRecursively(f)
 }
 
 object TxLog {
@@ -442,6 +440,15 @@ object TxLog {
   /** Test seam: force the no-hardlink path without a special fs. */
   @volatile private[graft] var simulateNoHardLinks: Boolean = false
 
+  /** The ONE recursive delete for store maintenance paths (vacuum,
+    * aborted-rewrite cleanup, stale-build teardown) — local-filesystem
+    * semantics, never follows out of the tree it is handed.
+    */
+  private[graft] def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   // --- column-stats encoding (see ColStats) -------------------------------
 
   private def instantMicros(i: java.time.Instant): Long =
@@ -458,8 +465,13 @@ object TxLog {
     case n: Short               => Some(("long", n.toString))
     case n: Int                 => Some(("long", n.toString))
     case n: Long                => Some(("long", n.toString))
-    case n: Float               => Some(("double", n.toDouble.toString))
-    case n: Double              => Some(("double", n.toString))
+    // non-finite doubles have no usable range semantics (NaN poisons
+    // min/max, infinities bound nothing) — emit no stats rather than a
+    // bound the numeric compare can't parse
+    case n: Float if java.lang.Float.isFinite(n) =>
+      Some(("double", n.toDouble.toString))
+    case n: Double if java.lang.Double.isFinite(n) =>
+      Some(("double", n.toString))
     case s: String              => Some(("string", s))
     case t: java.sql.Timestamp  => Some(("timestamp", instantMicros(t.toInstant).toString))
     case i: java.time.Instant   => Some(("timestamp", instantMicros(i).toString))
@@ -488,7 +500,11 @@ object TxLog {
       case (a, b) if a == b && a == "string" =>
         Some(statVal.compareTo(probeVal))
       case (a, b) if a == b || (numeric(a) && numeric(b)) =>
-        Some(BigDecimal(statVal).compare(BigDecimal(probeVal)))
+        // a bound this writer can't parse (e.g. "NaN" from a foreign or
+        // older writer) is incomparable, NOT an error — pruning must
+        // degrade to reading the entry, never fail the read
+        try Some(BigDecimal(statVal).compare(BigDecimal(probeVal)))
+        catch { case _: NumberFormatException => None }
       case _ => None
     }
   }

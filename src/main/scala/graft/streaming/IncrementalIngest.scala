@@ -294,14 +294,9 @@ object IncrementalIngest {
               snap.version))
             log.vacuum(keepVersions = 1, orphanGraceMs = vacuumGraceMs)
           else
-            deleteRecursively(dir)
+            TxLog.deleteRecursively(dir)
         }
       }
-  }
-
-  private def deleteRecursively(f: File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(): Unit
   }
 
   def bands(spark: SparkSession, workDir: String, cfg: DedupConfig): DataFrame =

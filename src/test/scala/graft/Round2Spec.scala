@@ -498,6 +498,25 @@ class Round2Spec extends SparkSpecBase {
     assert(got2 == Map(7L -> true, 8L -> false))
   }
 
+  test("keepList: NaN quality sorts LAST (intentional change vs the round-3 window, which crowned NaN)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // e.g. a cosine-derived score on a zero-norm vector: unscorable must
+    // never beat scored — even though Spark's `desc` ranks NaN above
+    // every number (the old window would have kept doc 8)
+    val docs = Seq((7L, 0.4), (8L, Double.NaN), (9L, 0.2)).toDF("id", "q")
+    val clusters = Seq((7L, 7L), (8L, 7L), (9L, 7L)).toDF("id", "cluster_id")
+    val got = Dedup.keepList(docs, clusters, col("q"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(got == Map(7L -> true, 8L -> false, 9L -> false))
+    // all-NaN cluster: still exactly one keeper, ties by min id
+    val docs2 = Seq((7L, Double.NaN), (8L, Double.NaN)).toDF("id", "q")
+    val clusters2 = Seq((7L, 7L), (8L, 7L)).toDF("id", "cluster_id")
+    val got2 = Dedup.keepList(docs2, clusters2, col("q"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(got2 == Map(7L -> true, 8L -> false))
+  }
+
   test("keepList mega-cluster: no WindowExec, map-side partial argmax, correct keeper on a 50k-member cluster") {
     val spark2 = spark
     import spark2.implicits._

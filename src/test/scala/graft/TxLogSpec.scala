@@ -236,6 +236,24 @@ class TxLogSpec extends SparkSpecBase {
     }
   }
 
+  test("commit-order tiebreak survives a store ROOT containing a /data/ path segment") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the _seq extraction must anchor to the path TAIL: an unanchored
+    // /data/([^/]+)/ match would capture "nested" here and zero every
+    // _seq, making the compaction-vs-retry tiebreak nondeterministic
+    val dir = s"${tmp("txlog-dataroot")}/data/nested/sigs"
+    val w = new MergeWriter(spark, dir, Seq("k"))
+    w.upsert(Seq(("a", 1), ("b", 1)).toDF("k", "v"), batchId = 1)
+    w.upsert(Seq(("b", 2), ("c", 2)).toDF("k", "v"), batchId = 2)
+    w.compact(vacuumGraceMs = 60000L)
+    w.upsert(Seq(("b", 99), ("c", 99)).toDF("k", "v"), batchId = 2)
+    (1 to 3).foreach { _ =>
+      assert(w.read().collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+        Set(("a", 1), ("b", 99), ("c", 99)))
+    }
+  }
+
   test("SQL time travel: two pinned versions queryable side by side + DESCRIBE HISTORY analog") {
     val spark2 = spark
     import spark2.implicits._
@@ -339,6 +357,28 @@ class TxLogSpec extends SparkSpecBase {
     assert(sOnly.size == 1)
     // incomparable probe domain (long vs timestamp stats) keeps everything
     assert(log.pruneRange(snap, "ts", Some(5L), Some(6L)).size == 2)
+  }
+
+  test("column stats: non-finite double bounds are skipped at write and tolerated at read") {
+    val spark2 = spark
+    import spark2.implicits._
+    val log = new TxLog(tmp("txlog-stats-nan"))
+    // NaN poisons max() (NaN sorts greatest): the column gets NO stats
+    // rather than an unparseable "NaN" bound
+    log.writeAppend(Seq((1L, Double.NaN), (2L, 0.5)).toDF("id", "v"),
+      statsCols = Seq("id", "v"))
+    val e = log.snapshot().entries.head
+    assert(e.stats.contains("id"))
+    assert(!e.stats.contains("v"))
+    // a FOREIGN manifest carrying "NaN" bounds must degrade to
+    // reading the entry, never crash the pruning pass
+    val alien = log.newDataDir()
+    Seq((3L, 1.0)).toDF("id", "v").write.parquet(alien.getPath)
+    log.commitAppend(Seq(TxEntry(log.relativize(alien), -1L,
+      Map("v" -> graft.store.ColStats("double", "NaN", "NaN")))))
+    val snap = log.snapshot()
+    val kept = log.pruneRange(snap, "v", Some(100.0), Some(200.0))
+    assert(kept.size == 2) // both unprunable on v: no stats / NaN bounds
   }
 
   test("column stats: TIMESTAMP_NTZ prunes in its own wall-clock domain, zoned probes keep everything") {
