@@ -39,9 +39,10 @@ object SparkEntry {
     * validity-checked retry: a concurrent builder's VALID table is
     * reused, never deleted out from under its readers; only a table
     * that fails the fingerprint is moved aside and removed. The build
-    * caches the source once (one scan feeds the week list and every
-    * weekly commit); the distinct-week collect is bounded by the corpus
-    * time span (weeks, not rows).
+    * is one hidden-partitioned write ([[graft.store.TxLog.writePartitionedAppend]]):
+    * a single scan buckets rows by week, a footer-only read-back stamps
+    * per-week ts bounds, and one commit carries one entry per week —
+    * no per-week re-scan, no driver-side week loop.
     */
   private[graft] def eventsTxLog(s: SparkSession, dir: String): graft.store.TxLog = {
     import graft.store.TxLog
@@ -60,17 +61,16 @@ object SparkEntry {
       current.snapshot().entries.forall(_.stats.contains("ts")) &&
       current.read(s).exists(d => fp(d) == want)
     if (!ok) {
-      val evC = ev.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
+      {
         val build = new java.io.File(
           s"$root.build-${java.util.UUID.randomUUID()}")
         val bl = new TxLog(build.getPath)
-        val weeks = evC.select(date_trunc("week", col("ts")).as("w"))
-          .distinct().orderBy("w").collect().map(_.getTimestamp(0))
-        weeks.foreach { w =>
-          bl.writeAppend(evC.where(date_trunc("week", col("ts")) === lit(w)),
-            batch = -1L, statsCols = Seq("ts")): Unit
-        }
+        // hidden-partitioned write: ONE scan buckets events by UTC week,
+        // one read-back aggregation stamps per-week ts bounds, one
+        // commit carries one manifest entry per week
+        bl.writePartitionedAppend(ev,
+          date_format(date_trunc("week", col("ts")), "yyyyMMdd"),
+          statsCols = Seq("ts")): Unit
         val rootF = new java.io.File(root)
         java.nio.file.Files.createDirectories(rootF.toPath.getParent)
         var staged = Option(build)
@@ -103,7 +103,7 @@ object SparkEntry {
           TxLog.deleteRecursively(b)
           sys.error(s"could not publish events txlog at $root")
         }
-      } finally { evC.unpersist(); () }
+      }
     }
     current
   }

@@ -189,7 +189,12 @@ final class TxLog(val root: String) {
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     Option(dataRoot.listFiles()).getOrElse(Array.empty).foreach { d =>
       val rel = relativize(d)
-      if (!referenced.contains(rel) && d.lastModified() < cutoff)
+      // a dir is live if any kept manifest references it directly OR
+      // references a partition subdir inside it (writePartitionedAppend
+      // commits data/<uuid>/_part=v entries)
+      val live = referenced.contains(rel) ||
+        referenced.exists(_.startsWith(rel + "/"))
+      if (!live && d.lastModified() < cutoff)
         deleteRecursively(d)
     }
     dropM.foreach { case (_, f) => f.delete() }
@@ -246,6 +251,61 @@ final class TxLog(val root: String) {
       if (statsCols.isEmpty) Map.empty[String, ColStats]
       else TxLog.statsOf(df.sparkSession, dir.getPath, statsCols)
     commitAppend(Seq(TxEntry(relativize(dir), batch, stats)))
+  }
+
+  /** Hidden-partitioning append (Iceberg partition-transform analog):
+    * ONE pass writes `df` bucketed by `partExpr` (a derived clustering
+    * key — NOT stored in the data files, exactly like Iceberg's hidden
+    * partitions), then ONE read-back aggregation over the just-written
+    * files computes per-partition min/max stats, and every partition
+    * directory is committed as its OWN manifest entry. Range reads then
+    * skip whole partitions via [[pruneRange]] without the caller ever
+    * seeing the partition column. The partition expression must render
+    * to filesystem-safe strings (`[A-Za-z0-9._-]+`, non-null) — e.g.
+    * `date_format(date_trunc("week", ts), "yyyyMMdd")` — anything else
+    * fails loudly rather than committing escaped paths. Returns the
+    * committed version.
+    */
+  def writePartitionedAppend(df: DataFrame, partExpr:
+      org.apache.spark.sql.Column, statsCols: Seq[String],
+      batch: Long = -1L): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    require(!df.columns.contains("_part"),
+      "_part is reserved by writePartitionedAppend; rename the input column")
+    val dir = newDataDir()
+    df.withColumn("_part", partExpr.cast("string"))
+      .write.partitionBy("_part")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir.getPath)
+    // read-back with partition discovery: _part comes from dir names,
+    // stat columns come from column pruning — footers + stat columns
+    // only, never the full rows
+    // pin _part to string in the read-back schema: partition-discovery
+    // type inference (yyyyMMdd -> int) would corrupt values with leading
+    // zeros, and the manifest path segment is always the rendered string
+    val back = df.sparkSession.read
+      .schema(df.schema.add("_part", org.apache.spark.sql.types.StringType))
+      .parquet(dir.getPath)
+    val present = statsCols.filter(back.columns.contains)
+    val aggs = present.flatMap(c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val rows =
+      if (aggs.isEmpty) back.select(col("_part")).distinct().collect()
+      else back.groupBy(col("_part")).agg(aggs.head, aggs.tail: _*).collect()
+    require(rows.nonEmpty, "writePartitionedAppend of an empty DataFrame")
+    val entries = rows.toSeq.map { r =>
+      val part = r.getString(0)
+      require(part != null && part.matches("[A-Za-z0-9._\\-]+"),
+        s"partition value '$part' is not filesystem-safe — format the " +
+          "partition expression to [A-Za-z0-9._-]+ (e.g. date_format)")
+      val stats = present.zipWithIndex.flatMap { case (c, i) =>
+        for {
+          mn <- Option(r.get(1 + 2 * i)).flatMap(TxLog.encodeValue)
+          mx <- Option(r.get(2 + 2 * i)).flatMap(TxLog.encodeValue)
+        } yield c -> ColStats(mn._1, mn._2, mx._2)
+      }.toMap
+      TxEntry(s"${relativize(dir)}/_part=$part", batch, stats)
+    }
+    commitAppend(entries)
   }
 
   /** Manifest-level file skipping: the entries of `snap` that can

@@ -327,6 +327,51 @@ class TxLogSpec extends SparkSpecBase {
     assert(empty.where(col("id") >= 500).count() == 0)
   }
 
+  test("hidden-partitioned append: one entry per week, _part invisible, prune + vacuum respect subdirs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val log = new TxLog(tmp("txlog-part"))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // Mon 2026-01-05 and Tue 2026-01-06 share a week; 01-12 and 01-19
+    // are the two following Mondays -> exactly three weekly partitions
+    val df = Seq((1L, ts("2026-01-05 00:00:00")), (2L, ts("2026-01-06 12:00:00")),
+      (3L, ts("2026-01-12 00:00:00")), (4L, ts("2026-01-19 00:00:00"))).toDF("id", "ts")
+    log.writePartitionedAppend(df,
+      date_format(date_trunc("week", col("ts")), "yyyyMMdd"), statsCols = Seq("ts"))
+
+    val snap = log.snapshot()
+    assert(snap.entries.size == 3) // one manifest entry per week
+    assert(snap.entries.forall(e => e.path.contains("/_part=") &&
+      e.stats.contains("ts")))
+
+    // the partition key is HIDDEN: derived at write, never a data column
+    val back = log.read(spark).get
+    assert(back.columns.toSeq == Seq("id", "ts"))
+    assert(back.count() == 4)
+
+    // per-week stats make range reads skip whole partitions
+    val kept = log.pruneRange(snap, "ts",
+      Some(ts("2026-01-11 00:00:00")), Some(ts("2026-01-13 00:00:00")))
+    assert(kept.size == 1)
+    val pruned = log.readRange(spark, "ts",
+      Some(ts("2026-01-12 00:00:00")), Some(ts("2026-01-13 00:00:00"))).get
+    assert(pruned.collect().map(_.getLong(0)).toSet == Set(3L))
+    assert(pruned.inputFiles.length < back.inputFiles.length)
+
+    // vacuum must treat the shared parent data dir as live when only
+    // its _part subdirs are referenced (regression: startsWith check)
+    log.writeAppend(Seq((9L, ts("2026-02-02 00:00:00"))).toDF("id", "ts"),
+      statsCols = Seq("ts"))
+    log.vacuum(keepVersions = 1, orphanGraceMs = 0L)
+    assert(log.read(spark).get.count() == 5)
+
+    // non-filesystem-safe partition values fail loudly, pre-commit
+    intercept[IllegalArgumentException] {
+      log.writePartitionedAppend(Seq((7L, "a b/c")).toDF("id", "p"),
+        col("p"), statsCols = Nil): Unit
+    }
+  }
+
   test("column stats: timestamp and string domains prune; escaped string bounds round-trip the manifest") {
     val spark2 = spark
     import spark2.implicits._
