@@ -39,12 +39,16 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
     require(batchId != CompactedEntryTag,
       s"batchId $batchId is reserved for compacted entries")
     val dir = log.newDataDir()
-    batch
-      .withColumn("_batch", lit(batchId))
+    val stamped = batch.withColumn("_batch", lit(batchId))
+    stamped
       .write.mode(SaveMode.Overwrite)
       .parquet(dir.getPath)
+    // declaring the written schema pins reads to it (TxLog schema
+    // evolution): a store whose batches GAIN a column reads the old
+    // batches with that column null, instead of whichever footer wins
     log.commitAppend(Seq(TxEntry(log.relativize(dir), batchId)),
-      replaceBatch = Some(batchId), op = "upsert"): Unit
+      replaceBatch = Some(batchId), op = "upsert",
+      schemaJson = Some(stamped.schema.json)): Unit
   }
 
   /** Snapshot read with a read-time `_seq` column = the entry's index

@@ -29,8 +29,14 @@ final case class ColStats(typ: String, min: String, max: String)
 final case class TxEntry(path: String, batch: Long,
                          stats: Map[String, ColStats] = Map.empty)
 
-/** An immutable view of the table at one committed version. */
-final case class TxSnapshot(version: Long, entries: Vector[TxEntry])
+/** An immutable view of the table at one committed version.
+  * `schemaJson` is the table schema as of this version (Spark
+  * `StructType.json`) — the Iceberg schema-on-manifest analog. Absent
+  * on pre-evolution manifests; reads then fall back to file-footer
+  * schema resolution.
+  */
+final case class TxSnapshot(version: Long, entries: Vector[TxEntry],
+                            schemaJson: Option[String] = None)
 
 /** A from-scratch transaction-log table format — the Iceberg/Delta role
   * (the reference's transactional result store,
@@ -140,7 +146,8 @@ final class TxLog(val root: String) {
     */
   def commitAppend(newEntries: Seq[TxEntry],
                    replaceBatch: Option[Long] = None,
-                   op: String = "append"): Long = {
+                   op: String = "append",
+                   schemaJson: Option[String] = None): Long = {
     newEntries.foreach(e => requireSafePath(e.path))
     @tailrec def loop(): Long = {
       val cur = snapshot()
@@ -148,8 +155,17 @@ final class TxLog(val root: String) {
         case Some(b) => cur.entries.filterNot(_.batch == b)
         case None    => cur.entries
       }
+      // schema evolution: a commit that declares a schema becomes the
+      // table schema (add/drop columns only — type changes fail, see
+      // requireEvolvable); a commit without one carries the current
+      // schema forward, so raw-entry commits never erase evolution
+      val next = schemaJson match {
+        case Some(s) =>
+          cur.schemaJson.foreach(TxLog.requireEvolvable(_, s)); Some(s)
+        case None => cur.schemaJson
+      }
       val v = cur.version + 1
-      if (tryPublish(v, render(v, op, kept ++ newEntries))) v else loop()
+      if (tryPublish(v, render(v, op, kept ++ newEntries, next))) v else loop()
     }
     loop()
   }
@@ -161,10 +177,20 @@ final class TxLog(val root: String) {
     * conflict; the caller deletes its staged data and may recompute.
     */
   def commitReplace(newEntries: Seq[TxEntry], expectedVersion: Long,
-                    op: String = "compact"): Boolean = {
+                    op: String = "compact",
+                    schemaJson: Option[String] = None): Boolean = {
     newEntries.foreach(e => requireSafePath(e.path))
+    // carry the replaced version's schema forward unless the caller
+    // declares one (a compaction rewrite keeps the evolved schema)
+    val carried =
+      if (expectedVersion < 0) None
+      else snapshotAt(expectedVersion).schemaJson
+    val next = schemaJson match {
+      case Some(s) => carried.foreach(TxLog.requireEvolvable(_, s)); Some(s)
+      case None    => carried
+    }
     val v = expectedVersion + 1
-    tryPublish(v, render(v, op, newEntries.toVector))
+    tryPublish(v, render(v, op, newEntries.toVector, next))
   }
 
   /** Expire history: keep the last `keepVersions` manifests, delete
@@ -231,10 +257,18 @@ final class TxLog(val root: String) {
     if (snap.entries.isEmpty) None else Some(readSnapshot(spark, snap))
   }
 
-  /** Read the files of a specific snapshot (snapshot-isolation read). */
+  /** Read the files of a specific snapshot (snapshot-isolation read).
+    * When the manifest carries a table schema ([[TxSnapshot.schemaJson]]),
+    * the read is PINNED to it — the Iceberg schema-evolution read path:
+    * files written before an added column surface it as null, files
+    * written before a drop simply don't expose the dropped column, and
+    * the result schema is the manifest's regardless of footer drift.
+    * Pre-evolution manifests (no schema) fall back to footer resolution
+    * exactly as before.
+    */
   def readSnapshot(spark: SparkSession, snap: TxSnapshot): DataFrame = {
     require(snap.entries.nonEmpty, s"empty snapshot of $root")
-    spark.read.parquet(liveDirs(snap): _*)
+    readEntries(spark, snap.entries, snap.schemaJson)
   }
 
   /** Stage `df` into a fresh data directory and commit it as an append,
@@ -250,7 +284,8 @@ final class TxLog(val root: String) {
     val stats =
       if (statsCols.isEmpty) Map.empty[String, ColStats]
       else TxLog.statsOf(df.sparkSession, dir.getPath, statsCols)
-    commitAppend(Seq(TxEntry(relativize(dir), batch, stats)))
+    commitAppend(Seq(TxEntry(relativize(dir), batch, stats)),
+      schemaJson = Some(df.schema.json))
   }
 
   /** Hidden-partitioning append (Iceberg partition-transform analog):
@@ -305,7 +340,71 @@ final class TxLog(val root: String) {
       }.toMap
       TxEntry(s"${relativize(dir)}/_part=$part", batch, stats)
     }
-    commitAppend(entries)
+    // the declared table schema is the INPUT schema — `_part` is the
+    // hidden partition key, not a table column
+    commitAppend(entries, schemaJson = Some(df.schema.json))
+  }
+
+  /** Partition-scoped compaction for hidden-partitioned tables — the
+    * Iceberg `rewrite_data_files` analog at PARTITION granularity.
+    * Repeated [[writePartitionedAppend]] ingest accumulates one entry
+    * per (write, partition); at 100-TB scale a full-table rewrite to
+    * fix that would touch every byte, so this rewrites ONLY partitions
+    * holding at least `minEntries` live entries, merging each into one
+    * `data/<uuid>/_part=<v>` directory. Per-column stats of the merged
+    * entry come from MERGING the manifest stats (min of mins / max of
+    * maxs; a column missing stats in any source entry gets none — never
+    * lossy), so compaction does zero read-back aggregation. Entries
+    * without a `_part=` segment (plain appends) are left untouched.
+    * Publishes one replace commit; on CAS conflict with a concurrent
+    * writer the staged rewrite is discarded and retried against the
+    * new snapshot (compaction is an optimization — it never clobbers a
+    * live write). Intended for append-style tables: the merged entry's
+    * batch id is −1, so it is not a target for `replaceBatch`
+    * re-delivery (keyed stores compact via [[MergeWriter.compact]],
+    * which understands last-writer-wins). Returns true if a compaction
+    * committed, false if nothing needed it or retries were exhausted.
+    */
+  def compactPartitions(spark: SparkSession, minEntries: Int = 2,
+                        maxRetries: Int = 3,
+                        vacuumGraceMs: Long = 600000L): Boolean = {
+    require(minEntries >= 2, "compacting partitions of <2 entries is a no-op")
+    val partOf = """.*/(_part=[A-Za-z0-9._\-]+)$""".r
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val snap = snapshot()
+      val keyed = snap.entries.map { e =>
+        e.path match {
+          case partOf(p) => (Some(p), e)
+          case _         => (None, e)
+        }
+      }
+      val hot: Map[String, Vector[TxEntry]] = keyed
+        .collect { case (Some(p), e) => (p, e) }
+        .groupBy(_._1).map { case (p, es) => p -> es.map(_._2) }
+        .filter(_._2.size >= minEntries)
+      if (hot.isEmpty) return false
+      val untouched = keyed.collect {
+        case (None, e)                          => e
+        case (Some(p), e) if !hot.contains(p)   => e
+      }
+      val staged = hot.toSeq.sortBy(_._1).map { case (p, es) =>
+        val dir = new File(newDataDir(), p)
+        readEntries(spark, es, snap.schemaJson)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(dir.getPath)
+        TxEntry(relativize(dir), -1L, TxLog.mergeStats(es.map(_.stats)))
+      }
+      if (commitReplace(untouched ++ staged, snap.version,
+          op = "compact-partitions")) {
+        vacuum(keepVersions = 1, orphanGraceMs = vacuumGraceMs)
+        return true
+      }
+      staged.foreach(e =>
+        TxLog.deleteRecursively(new File(root, e.path).getParentFile))
+      attempt += 1
+    }
+    false
   }
 
   /** Manifest-level file skipping: the entries of `snap` that can
@@ -351,16 +450,22 @@ final class TxLog(val root: String) {
     else {
       val kept = pruneRange(snap, column, lo, hi)
       Some(readEntries(spark,
-        if (kept.nonEmpty) kept else snap.entries.take(1)))
+        if (kept.nonEmpty) kept else snap.entries.take(1), snap.schemaJson))
     }
   }
 
   /** Read only the given entries (e.g. the delta since a remembered
-    * version's path set).
+    * version's path set), optionally pinned to a manifest schema (see
+    * [[readSnapshot]]).
     */
-  def readEntries(spark: SparkSession, entries: Seq[TxEntry]): DataFrame = {
+  def readEntries(spark: SparkSession, entries: Seq[TxEntry],
+                  schemaJson: Option[String] = None): DataFrame = {
     require(entries.nonEmpty, s"no entries to read in $root")
-    spark.read.parquet(entries.map(e => new File(root, e.path).getPath): _*)
+    val reader = schemaJson match {
+      case Some(s) => spark.read.schema(TxLog.structOf(s))
+      case None    => spark.read
+    }
+    reader.parquet(entries.map(e => new File(root, e.path).getPath): _*)
   }
 
   // --- commit internals --------------------------------------------------
@@ -421,7 +526,8 @@ final class TxLog(val root: String) {
   private def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
-  private def render(version: Long, op: String, entries: Seq[TxEntry]): String = {
+  private def render(version: Long, op: String, entries: Seq[TxEntry],
+                     schemaJson: Option[String]): String = {
     val es = entries.map { e =>
       val base = s"""{"path":"${e.path}","batch":${e.batch}"""
       if (e.stats.isEmpty) base + "}"
@@ -435,7 +541,12 @@ final class TxLog(val root: String) {
         base + s""","stats":{$ss}}"""
       }
     }.mkString(",")
-    s"""{"version":$version,"op":"$op","entries":[$es]}"""
+    // the schema is itself JSON (StructType.json) but is embedded as an
+    // ESCAPED STRING, not inline JSON — round-trips byte-identically
+    // through parse, so StructType.fromJson sees exactly what the
+    // writer rendered
+    val sch = schemaJson.map(s => s""","schema":${jstr(s)}""").getOrElse("")
+    s"""{"version":$version,"op":"$op"$sch,"entries":[$es]}"""
   }
 
   private def parseManifest(text: String): TxSnapshot = {
@@ -474,7 +585,14 @@ final class TxLog(val root: String) {
       }.toVector
       case other => sys.error(s"bad manifest entries: $other")
     }
-    TxSnapshot(version, entries)
+    // optional (absent on pre-evolution manifests); present-but-wrong
+    // is corruption and fails loudly, like every other manifest field
+    val schemaJson = j \ "schema" match {
+      case JNothing   => None
+      case JString(s) => Some(s)
+      case other      => sys.error(s"bad manifest schema: $other")
+    }
+    TxSnapshot(version, entries, schemaJson)
   }
 
   private def deleteRecursively(f: File): Unit =
@@ -499,6 +617,34 @@ object TxLog {
 
   /** Test seam: force the no-hardlink path without a special fs. */
   @volatile private[graft] var simulateNoHardLinks: Boolean = false
+
+  private[store] def structOf(json: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(json) match {
+      case s: org.apache.spark.sql.types.StructType => s
+      case other => sys.error(s"manifest schema is not a struct: $other")
+    }
+
+  /** Schema-evolution compatibility gate: columns may be ADDED (old
+    * files read them as null) or DROPPED (pinned reads stop exposing
+    * them), but a column present in both schemas must keep its exact
+    * type — a silent long→string or struct reshape would make pinned
+    * reads of old files garbage or fail at scan time, so it fails HERE,
+    * at commit, naming the column.
+    */
+  private[store] def requireEvolvable(oldJson: String, newJson: String): Unit = {
+    val oldS = structOf(oldJson)
+    val newS = structOf(newJson)
+    val oldByName = oldS.fields.map(f => f.name -> f.dataType).toMap
+    newS.fields.foreach { f =>
+      oldByName.get(f.name).foreach { oldT =>
+        require(oldT == f.dataType,
+          s"incompatible schema evolution for column '${f.name}': " +
+            s"${oldT.simpleString} -> ${f.dataType.simpleString} (only " +
+            "add/drop of columns is supported; rewrite the table to " +
+            "change a column's type)")
+      }
+    }
+  }
 
   /** The ONE recursive delete for store maintenance paths (vacuum,
     * aborted-rewrite cleanup, stale-build teardown) — local-filesystem
@@ -567,6 +713,37 @@ object TxLog {
         catch { case _: NumberFormatException => None }
       case _ => None
     }
+  }
+
+  /** Merge per-entry column stats for a row-preserving rewrite
+    * (compaction): a column keeps stats only if EVERY source entry has
+    * them, in the SAME domain, with parseable bounds — anything else
+    * drops the column's stats (pruning then keeps the merged entry;
+    * conservative, never lossy). Used by [[TxLog.compactPartitions]] so
+    * compaction needs no read-back aggregation.
+    */
+  private[store] def mergeStats(
+      all: Seq[Map[String, ColStats]]): Map[String, ColStats] = {
+    require(all.nonEmpty, "mergeStats of no entries")
+    val common = all.map(_.keySet).reduce(_ intersect _)
+    common.flatMap { c =>
+      val css = all.map(_(c))
+      val typ = css.head.typ
+      if (!css.forall(_.typ == typ)) None
+      else {
+        val merged = css.tail.foldLeft(Option(css.head)) { (accOpt, cs) =>
+          accOpt.flatMap { acc =>
+            for {
+              dMin <- cmp(typ, cs.min, typ, acc.min)
+              dMax <- cmp(typ, cs.max, typ, acc.max)
+            } yield ColStats(typ,
+              if (dMin < 0) cs.min else acc.min,
+              if (dMax > 0) cs.max else acc.max)
+          }
+        }
+        merged.map(c -> _)
+      }
+    }.toMap
   }
 
   /** Per-column min/max of a staged data directory, reading back only

@@ -372,6 +372,45 @@ class TxLogSpec extends SparkSpecBase {
     }
   }
 
+  test("partition-scoped compaction: merges only multi-entry partitions, merged manifest stats, rows identical") {
+    val spark2 = spark
+    import spark2.implicits._
+    val log = new TxLog(tmp("txlog-part-compact"))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val weekExpr = date_format(date_trunc("week", col("ts")), "yyyyMMdd")
+    // two ingests hitting the SAME week + one ingest of a second week +
+    // one plain (unpartitioned) append
+    log.writePartitionedAppend(Seq((1L, ts("2026-01-05 00:00:00")),
+      (2L, ts("2026-01-06 12:00:00"))).toDF("id", "ts"), weekExpr, Seq("ts"))
+    log.writePartitionedAppend(Seq((3L, ts("2026-01-07 00:00:00"))).toDF("id", "ts"),
+      weekExpr, Seq("ts"))
+    log.writePartitionedAppend(Seq((4L, ts("2026-01-12 00:00:00"))).toDF("id", "ts"),
+      weekExpr, Seq("ts"))
+    log.writeAppend(Seq((9L, ts("2026-02-02 00:00:00"))).toDF("id", "ts"),
+      statsCols = Seq("ts"))
+    val before = log.read(spark).get.collect().map(_.getLong(0)).toSet
+    assert(log.snapshot().entries.size == 4) // 2 + 1 + 1 plain
+
+    assert(log.compactPartitions(spark, vacuumGraceMs = 0L))
+    val snap = log.snapshot()
+    // hot week merged into one entry; cold week + plain entry untouched
+    assert(snap.entries.size == 3)
+    assert(snap.entries.count(_.path.contains("_part=20260105")) == 1)
+    // merged stats span both source entries (min of mins / max of maxs)
+    val merged = snap.entries.find(_.path.contains("_part=20260105")).get
+    val enc = (t: java.sql.Timestamp) =>
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000
+    assert(merged.stats("ts").min == enc(ts("2026-01-05 00:00:00")).toString)
+    assert(merged.stats("ts").max == enc(ts("2026-01-07 00:00:00")).toString)
+    // rows identical, pruning still partition-accurate, vacuum ran
+    assert(log.read(spark).get.collect().map(_.getLong(0)).toSet == before)
+    val kept = log.pruneRange(snap, "ts",
+      Some(ts("2026-01-05 12:00:00")), Some(ts("2026-01-06 00:00:00")))
+    assert(kept.size == 1 && kept.head.path.contains("_part=20260105"))
+    // idempotent: nothing left to compact
+    assert(!log.compactPartitions(spark, vacuumGraceMs = 0L))
+  }
+
   test("column stats: timestamp and string domains prune; escaped string bounds round-trip the manifest") {
     val spark2 = spark
     import spark2.implicits._
@@ -475,5 +514,68 @@ class TxLogSpec extends SparkSpecBase {
     } finally {
       TxLog.simulateNoHardLinks = false
     }
+  }
+
+  test("schema evolution: added column null on old files, drop hides it, raw commits carry schema forward") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp("txlog-evolve")
+    val log = new TxLog(dir)
+    log.writeAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    // ADD a column: old files must read it as null, not footer-roulette
+    log.writeAppend(Seq((3L, "c", 0.5)).toDF("id", "s", "q"))
+    val added = log.read(spark).get
+    assert(added.columns.toSeq == Seq("id", "s", "q"))
+    assert(added.where(col("q").isNull).count() == 2)
+    assert(added.where(col("q") === 0.5).count() == 1)
+    // a RAW entry commit (no schema declared) carries the evolved
+    // schema forward — infra commits never erase evolution
+    val legacy = log.newDataDir()
+    Seq((4L, "d")).toDF("id", "s").write.parquet(legacy.getPath)
+    log.commitAppend(Seq(TxEntry(log.relativize(legacy), -1L)))
+    val carried = log.read(spark).get
+    assert(carried.columns.toSeq == Seq("id", "s", "q"))
+    assert(carried.count() == 4 && carried.where(col("q").isNull).count() == 3)
+    // DROP a column: a write declaring the narrower schema hides it
+    log.writeAppend(Seq((5L, 0.9)).toDF("id", "q"))
+    val dropped = log.read(spark).get
+    assert(dropped.columns.toSeq == Seq("id", "q"))
+    assert(dropped.count() == 5)
+    // time travel reads each version under ITS schema
+    assert(log.readSnapshot(spark, log.snapshotAt(0L)).columns.toSeq ==
+      Seq("id", "s"))
+  }
+
+  test("schema evolution: a column type change fails loudly at commit, naming the column") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp("txlog-evolve-bad")
+    val log = new TxLog(dir)
+    log.writeAppend(Seq((1L, "a")).toDF("id", "s"))
+    val before = log.currentVersion()
+    val ex = intercept[IllegalArgumentException] {
+      log.writeAppend(Seq(("oops", "b")).toDF("id", "s"))
+    }
+    assert(ex.getMessage.contains("'id'"))
+    assert(log.currentVersion() == before, "rejected commit must not publish")
+  }
+
+  test("schema evolution through MergeWriter: evolved store reads old batches with nulls; readAsOf keeps the old shape") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp("txlog-evolve-mw")
+    val w = new MergeWriter(spark, dir, Seq("k"))
+    w.upsert(Seq(("a", 1), ("b", 2)).toDF("k", "v"), batchId = 1)
+    val v0 = w.txLog.currentVersion()
+    w.upsert(Seq(("b", 3, 0.7)).toDF("k", "v", "score"), batchId = 2)
+    val now = w.read().collect().map(r =>
+      (r.getString(0), r.getInt(1), Option(r.get(2)))).toSet
+    assert(now == Set(("a", 1, None), ("b", 3, Some(0.7))))
+    // time travel: the pre-evolution version keeps its own schema
+    assert(w.readAsOf(v0).columns.toSeq == Seq("k", "v"))
+    // compaction carries the evolved schema through the replace commit
+    w.compact(vacuumGraceMs = 60000L)
+    assert(w.read().columns.toSeq == Seq("k", "v", "score"))
+    assert(w.read().where(col("score").isNull).count() == 1)
   }
 }
