@@ -388,20 +388,33 @@ final class TxLog(val root: String) {
         case (None, e)                          => e
         case (Some(p), e) if !hot.contains(p)   => e
       }
+      // ONE partitionBy job rewrites every hot partition (not a
+      // driver loop of per-partition jobs — a day's worth of hourly
+      // micro-batches over hundreds of partitions must not serialize
+      // into hundreds of tiny jobs). The partition value is recovered
+      // from the file path, same anchored-tail technique as
+      // MergeWriter's read-time sequence column.
+      val hotEntries = hot.valuesIterator.flatten.toSeq
+      val dir = newDataDir()
+      val src = readEntries(spark, hotEntries, snap.schemaJson)
+      require(!src.columns.contains("_part"),
+        "_part is reserved by hidden partitioning; this table has a real " +
+          "_part column and cannot be partition-compacted")
+      src
+        .withColumn("_part", org.apache.spark.sql.functions.regexp_extract(
+          org.apache.spark.sql.functions.input_file_name(),
+          "/_part=([^/]+)/[^/]*$", 1))
+        .write.partitionBy("_part")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir.getPath)
       val staged = hot.toSeq.sortBy(_._1).map { case (p, es) =>
-        val dir = new File(newDataDir(), p)
-        readEntries(spark, es, snap.schemaJson)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(dir.getPath)
-        TxEntry(relativize(dir), -1L, TxLog.mergeStats(es.map(_.stats)))
+        TxEntry(s"${relativize(dir)}/$p", -1L, TxLog.mergeStats(es.map(_.stats)))
       }
       if (commitReplace(untouched ++ staged, snap.version,
           op = "compact-partitions")) {
         vacuum(keepVersions = 1, orphanGraceMs = vacuumGraceMs)
         return true
       }
-      staged.foreach(e =>
-        TxLog.deleteRecursively(new File(root, e.path).getParentFile))
+      TxLog.deleteRecursively(dir)
       attempt += 1
     }
     false
