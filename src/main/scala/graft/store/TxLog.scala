@@ -218,10 +218,22 @@ final class TxLog(val root: String) {
       // a dir is live if any kept manifest references it directly OR
       // references a partition subdir inside it (writePartitionedAppend
       // commits data/<uuid>/_part=v entries)
-      val live = referenced.contains(rel) ||
-        referenced.exists(_.startsWith(rel + "/"))
-      if (!live && d.lastModified() < cutoff)
+      val direct = referenced.contains(rel)
+      val viaSub = referenced.exists(_.startsWith(rel + "/"))
+      if (!direct && !viaSub && d.lastModified() < cutoff)
         deleteRecursively(d)
+      else if (!direct && viaSub) {
+        // partition-granular reclaim: a compaction that superseded
+        // SOME of this dir's partition subdirs leaves the dir live via
+        // the others — the superseded subdirs would otherwise leak
+        // forever (whole-dir deletion never fires while any sibling is
+        // referenced)
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(s => s.isDirectory && s.getName.startsWith("_part=") &&
+            !referenced.contains(s"$rel/${s.getName}") &&
+            s.lastModified() < cutoff)
+          .foreach(deleteRecursively)
+      }
     }
     dropM.foreach { case (_, f) => f.delete() }
     // stray manifest temp files from crashed commits (never visible to

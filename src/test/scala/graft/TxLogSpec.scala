@@ -411,6 +411,35 @@ class TxLogSpec extends SparkSpecBase {
     assert(!log.compactPartitions(spark, vacuumGraceMs = 0L))
   }
 
+  test("vacuum reclaims superseded partition subdirs inside a parent kept live by a sibling partition") {
+    val spark2 = spark
+    import spark2.implicits._
+    val log = new TxLog(tmp("txlog-part-reclaim"))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val weekExpr = date_format(date_trunc("week", col("ts")), "yyyyMMdd")
+    // ONE write carrying two weeks -> both _part subdirs share a uuid
+    // parent; a second write makes week 1 hot
+    log.writePartitionedAppend(Seq((1L, ts("2026-01-05 00:00:00")),
+      (2L, ts("2026-01-12 00:00:00"))).toDF("id", "ts"), weekExpr, Seq("ts"))
+    log.writePartitionedAppend(Seq((3L, ts("2026-01-06 00:00:00"))).toDF("id", "ts"),
+      weekExpr, Seq("ts"))
+    val sharedParent = new File(log.root,
+      log.snapshot().entries.find(_.path.contains("_part=20260112")).get
+        .path.split("/").init.mkString("/"))
+    assert(new File(sharedParent, "_part=20260105").exists())
+
+    // compacting week 1 supersedes sharedParent/_part=20260105, but the
+    // parent stays live via _part=20260112 — the stale subdir must be
+    // reclaimed, not leaked
+    assert(log.compactPartitions(spark, vacuumGraceMs = 0L))
+    assert(new File(sharedParent, "_part=20260112").exists(),
+      "live sibling partition must survive vacuum")
+    assert(!new File(sharedParent, "_part=20260105").exists(),
+      "superseded partition subdir must be reclaimed")
+    assert(log.read(spark).get.collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+  }
+
   test("column stats: timestamp and string domains prune; escaped string bounds round-trip the manifest") {
     val spark2 = spark
     import spark2.implicits._
