@@ -61,48 +61,46 @@ object SparkEntry {
       current.snapshot().entries.forall(_.stats.contains("ts")) &&
       current.read(s).exists(d => fp(d) == want)
     if (!ok) {
-      {
-        val build = new java.io.File(
-          s"$root.build-${java.util.UUID.randomUUID()}")
-        val bl = new TxLog(build.getPath)
-        // hidden-partitioned write: ONE scan buckets events by UTC week,
-        // one read-back aggregation stamps per-week ts bounds, one
-        // commit carries one manifest entry per week
-        bl.writePartitionedAppend(ev,
-          date_format(date_trunc("week", col("ts")), "yyyyMMdd"),
-          statsCols = Seq("ts")): Unit
-        val rootF = new java.io.File(root)
-        java.nio.file.Files.createDirectories(rootF.toPath.getParent)
-        var staged = Option(build)
-        var attempts = 0
-        while (staged.nonEmpty && attempts < 4) {
-          attempts += 1
-          try {
-            java.nio.file.Files.move(staged.get.toPath, rootF.toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            staged = None
-          } catch { case _: java.nio.file.FileSystemException =>
-            if (ok) { // a concurrent builder published a valid table
-              TxLog.deleteRecursively(staged.get); staged = None
-            } else {
-              // occupied by an INVALID table: move it aside atomically
-              // (never a recursive delete of the live path) and retry
-              val aside = new java.io.File(
-                s"$root.stale-${java.util.UUID.randomUUID()}")
-              try {
-                java.nio.file.Files.move(rootF.toPath, aside.toPath,
-                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-                TxLog.deleteRecursively(aside)
-              } catch { // lost the aside race to another mover — retry
-                case _: java.nio.file.FileSystemException => ()
-              }
+      val build = new java.io.File(
+        s"$root.build-${java.util.UUID.randomUUID()}")
+      val bl = new TxLog(build.getPath)
+      // hidden-partitioned write: ONE scan buckets events by UTC week,
+      // one read-back aggregation stamps per-week ts bounds, one
+      // commit carries one manifest entry per week
+      bl.writePartitionedAppend(ev,
+        date_format(date_trunc("week", col("ts")), "yyyyMMdd"),
+        statsCols = Seq("ts")): Unit
+      val rootF = new java.io.File(root)
+      java.nio.file.Files.createDirectories(rootF.toPath.getParent)
+      var staged = Option(build)
+      var attempts = 0
+      while (staged.nonEmpty && attempts < 4) {
+        attempts += 1
+        try {
+          java.nio.file.Files.move(staged.get.toPath, rootF.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          staged = None
+        } catch { case _: java.nio.file.FileSystemException =>
+          if (ok) { // a concurrent builder published a valid table
+            TxLog.deleteRecursively(staged.get); staged = None
+          } else {
+            // occupied by an INVALID table: move it aside atomically
+            // (never a recursive delete of the live path) and retry
+            val aside = new java.io.File(
+              s"$root.stale-${java.util.UUID.randomUUID()}")
+            try {
+              java.nio.file.Files.move(rootF.toPath, aside.toPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              TxLog.deleteRecursively(aside)
+            } catch { // lost the aside race to another mover — retry
+              case _: java.nio.file.FileSystemException => ()
             }
           }
         }
-        staged.foreach { b =>
-          TxLog.deleteRecursively(b)
-          sys.error(s"could not publish events txlog at $root")
-        }
+      }
+      staged.foreach { b =>
+        TxLog.deleteRecursively(b)
+        sys.error(s"could not publish events txlog at $root")
       }
     }
     current

@@ -40,6 +40,7 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
       s"batchId $batchId is reserved for compacted entries")
     val dir = log.newDataDir()
     val stamped = batch.withColumn("_batch", lit(batchId))
+    log.requireLegacyCompatible(spark, stamped.schema.json)
     stamped
       .write.mode(SaveMode.Overwrite)
       .parquet(dir.getPath)

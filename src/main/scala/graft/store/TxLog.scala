@@ -33,10 +33,16 @@ final case class TxEntry(path: String, batch: Long,
   * `schemaJson` is the table schema as of this version (Spark
   * `StructType.json`) — the Iceberg schema-on-manifest analog. Absent
   * on pre-evolution manifests; reads then fall back to file-footer
-  * schema resolution.
+  * schema resolution. `colLineage` records, for every column NAME ever
+  * committed to this table, the type it was first committed with
+  * (`DataType.json`) — the poor-man's Iceberg field-id: a column
+  * dropped and later re-added must come back at its original type,
+  * because live old files may still carry the original representation
+  * and a pinned read over them would otherwise fail at scan time.
   */
 final case class TxSnapshot(version: Long, entries: Vector[TxEntry],
-                            schemaJson: Option[String] = None)
+                            schemaJson: Option[String] = None,
+                            colLineage: Map[String, String] = Map.empty)
 
 /** A from-scratch transaction-log table format — the Iceberg/Delta role
   * (the reference's transactional result store,
@@ -157,15 +163,13 @@ final class TxLog(val root: String) {
       }
       // schema evolution: a commit that declares a schema becomes the
       // table schema (add/drop columns only — type changes fail, see
-      // requireEvolvable); a commit without one carries the current
+      // TxLog.evolve); a commit without one carries the current
       // schema forward, so raw-entry commits never erase evolution
-      val next = schemaJson match {
-        case Some(s) =>
-          cur.schemaJson.foreach(TxLog.requireEvolvable(_, s)); Some(s)
-        case None => cur.schemaJson
-      }
+      val (next, lineage) =
+        TxLog.evolve(cur.schemaJson, cur.colLineage, schemaJson)
       val v = cur.version + 1
-      if (tryPublish(v, render(v, op, kept ++ newEntries, next))) v else loop()
+      if (tryPublish(v, render(v, op, kept ++ newEntries, next, lineage))) v
+      else loop()
     }
     loop()
   }
@@ -180,17 +184,27 @@ final class TxLog(val root: String) {
                     op: String = "compact",
                     schemaJson: Option[String] = None): Boolean = {
     newEntries.foreach(e => requireSafePath(e.path))
-    // carry the replaced version's schema forward unless the caller
-    // declares one (a compaction rewrite keeps the evolved schema)
-    val carried =
-      if (expectedVersion < 0) None
-      else snapshotAt(expectedVersion).schemaJson
-    val next = schemaJson match {
-      case Some(s) => carried.foreach(TxLog.requireEvolvable(_, s)); Some(s)
-      case None    => carried
+    // carry the replaced version's schema + lineage forward unless the
+    // caller declares a schema (a compaction rewrite keeps both; the
+    // lineage survives even full rewrites — changing a column's type
+    // means a NEW table root, never an in-place mutation). If the
+    // expected version's manifest was vacuumed by a concurrent writer,
+    // the CAS below is guaranteed lost anyway (vacuum keeps at least
+    // one LATER version) — report the conflict as the documented
+    // `false`, not a read crash.
+    val expected =
+      if (expectedVersion < 0) Some(TxSnapshot(-1L, Vector.empty))
+      else
+        try Some(snapshotAt(expectedVersion))
+        catch { case _: java.io.IOException => None }
+    expected match {
+      case None => false
+      case Some(base) =>
+        val (next, lineage) =
+          TxLog.evolve(base.schemaJson, base.colLineage, schemaJson)
+        val v = expectedVersion + 1
+        tryPublish(v, render(v, op, newEntries.toVector, next, lineage))
     }
-    val v = expectedVersion + 1
-    tryPublish(v, render(v, op, newEntries.toVector, next))
   }
 
   /** Expire history: keep the last `keepVersions` manifests, delete
@@ -283,6 +297,24 @@ final class TxLog(val root: String) {
     readEntries(spark, snap.entries, snap.schemaJson)
   }
 
+  /** First schema declaration over a LEGACY (pre-evolution) non-empty
+    * table: the declared schema must be checked against what the live
+    * files actually contain, or pinning would break reads of old files
+    * whose footer types disagree. One mergeSchema footer read, paid
+    * exactly once per table (after the first declaration the current
+    * schema carries the check). mergeSchema itself fails loudly if the
+    * legacy files already disagree with each other.
+    */
+  private[store] def requireLegacyCompatible(spark: SparkSession,
+                                             declared: String): Unit = {
+    val snap = snapshot()
+    if (snap.schemaJson.isEmpty && snap.entries.nonEmpty) {
+      val merged = spark.read.option("mergeSchema", "true")
+        .parquet(liveDirs(snap): _*).schema
+      TxLog.requireEvolvable(merged.json, declared)
+    }
+  }
+
   /** Stage `df` into a fresh data directory and commit it as an append,
     * optionally stamping per-column min/max stats on `statsCols`
     * (computed by reading back only those columns of the just-written
@@ -291,6 +323,7 @@ final class TxLog(val root: String) {
     */
   def writeAppend(df: DataFrame, batch: Long = -1L,
                   statsCols: Seq[String] = Nil): Long = {
+    requireLegacyCompatible(df.sparkSession, df.schema.json)
     val dir = newDataDir()
     df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir.getPath)
     val stats =
@@ -317,8 +350,11 @@ final class TxLog(val root: String) {
       org.apache.spark.sql.Column, statsCols: Seq[String],
       batch: Long = -1L): Long = {
     import org.apache.spark.sql.functions.{col, max, min}
-    require(!df.columns.contains("_part"),
+    // case-INsensitive: withColumn resolves case-insensitively by
+    // default, so a column named _PART would be silently overwritten
+    require(!df.columns.exists(_.equalsIgnoreCase("_part")),
       "_part is reserved by writePartitionedAppend; rename the input column")
+    requireLegacyCompatible(df.sparkSession, df.schema.json)
     val dir = newDataDir()
     df.withColumn("_part", partExpr.cast("string"))
       .write.partitionBy("_part")
@@ -409,7 +445,7 @@ final class TxLog(val root: String) {
       val hotEntries = hot.valuesIterator.flatten.toSeq
       val dir = newDataDir()
       val src = readEntries(spark, hotEntries, snap.schemaJson)
-      require(!src.columns.contains("_part"),
+      require(!src.columns.exists(_.equalsIgnoreCase("_part")),
         "_part is reserved by hidden partitioning; this table has a real " +
           "_part column and cannot be partition-compacted")
       src
@@ -548,11 +584,30 @@ final class TxLog(val root: String) {
       p.matches("""data/[A-Za-z0-9._\-/=]+"""),
       s"unsafe table-relative path: $p")
 
-  private def jstr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  /** JSON string literal with FULL control-character escaping — string
+    * stats bounds hold arbitrary data values (urls, raw text), and one
+    * unescaped newline in a bound would render a manifest Jackson
+    * refuses to parse, bricking every subsequent read of the table.
+    */
+  private def jstr(s: String): String = {
+    val b = new StringBuilder(s.length + 2)
+    b.append('"')
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '"'  => b.append("\\\"")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c    => b.append(c)
+    }
+    b.append('"')
+    b.toString
+  }
 
   private def render(version: Long, op: String, entries: Seq[TxEntry],
-                     schemaJson: Option[String]): String = {
+                     schemaJson: Option[String],
+                     colLineage: Map[String, String]): String = {
     val es = entries.map { e =>
       val base = s"""{"path":"${e.path}","batch":${e.batch}"""
       if (e.stats.isEmpty) base + "}"
@@ -571,7 +626,12 @@ final class TxLog(val root: String) {
     // through parse, so StructType.fromJson sees exactly what the
     // writer rendered
     val sch = schemaJson.map(s => s""","schema":${jstr(s)}""").getOrElse("")
-    s"""{"version":$version,"op":"$op"$sch,"entries":[$es]}"""
+    val cols =
+      if (colLineage.isEmpty) ""
+      else colLineage.toSeq.sortBy(_._1)
+        .map { case (n, t) => s"${jstr(n)}:${jstr(t)}" }
+        .mkString(""","cols":{""", ",", "}")
+    s"""{"version":$version,"op":"$op"$sch$cols,"entries":[$es]}"""
   }
 
   private def parseManifest(text: String): TxSnapshot = {
@@ -617,7 +677,15 @@ final class TxLog(val root: String) {
       case JString(s) => Some(s)
       case other      => sys.error(s"bad manifest schema: $other")
     }
-    TxSnapshot(version, entries, schemaJson)
+    val colLineage = j \ "cols" match {
+      case JNothing => Map.empty[String, String]
+      case JObject(fields) => fields.map {
+        case (n, JString(t)) => n -> t
+        case (n, other) => sys.error(s"bad manifest cols.$n: $other")
+      }.toMap
+      case other => sys.error(s"bad manifest cols: $other")
+    }
+    TxSnapshot(version, entries, schemaJson, colLineage)
   }
 
   private def deleteRecursively(f: File): Unit =
@@ -665,11 +733,43 @@ object TxLog {
         require(oldT == f.dataType,
           s"incompatible schema evolution for column '${f.name}': " +
             s"${oldT.simpleString} -> ${f.dataType.simpleString} (only " +
-            "add/drop of columns is supported; rewrite the table to " +
-            "change a column's type)")
+            "add/drop of columns is supported; changing a column's type " +
+            "means writing a new table)")
       }
     }
   }
+
+  /** Resolve the (schema, lineage) a commit publishes. A declared
+    * schema is checked against the CURRENT schema (add/drop only) AND
+    * against the lineage of every column name ever committed — a
+    * column dropped and later re-added must come back at its original
+    * type, because live old files still carry the original
+    * representation and a pinned read over them would fail at scan
+    * time (the drop-then-re-add hole a current-schema-only check
+    * leaves open). The lineage never resets within a table root, even
+    * across full-rewrite replace commits — a replace may legitimately
+    * keep old entries (partition-scoped compaction does).
+    */
+  private[store] def evolve(curSchema: Option[String],
+                            curLineage: Map[String, String],
+                            declared: Option[String])
+      : (Option[String], Map[String, String]) =
+    declared match {
+      case None => (curSchema, curLineage)
+      case Some(s) =>
+        curSchema.foreach(requireEvolvable(_, s))
+        val fields = structOf(s).fields
+        fields.foreach { f =>
+          curLineage.get(f.name).foreach { orig =>
+            require(orig == f.dataType.json,
+              s"column '${f.name}' was previously committed to this table " +
+                s"with a different type ($orig); a dropped column can only " +
+                "be re-added at its original type — old files still carry " +
+                "the original representation")
+          }
+        }
+        (Some(s), curLineage ++ fields.map(f => f.name -> f.dataType.json))
+    }
 
   /** The ONE recursive delete for store maintenance paths (vacuum,
     * aborted-rewrite cleanup, stale-build teardown) — local-filesystem

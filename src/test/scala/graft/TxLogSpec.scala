@@ -589,6 +589,66 @@ class TxLogSpec extends SparkSpecBase {
     assert(log.currentVersion() == before, "rejected commit must not publish")
   }
 
+  test("schema evolution: drop-then-re-add must keep the original type (column lineage)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val log = new TxLog(tmp("txlog-lineage"))
+    log.writeAppend(Seq((1L, "a")).toDF("id", "s"))
+    log.writeAppend(Seq(Tuple1(2L)).toDF("id")) // drop s
+    // re-adding s at a DIFFERENT type must fail at commit — the v0
+    // files still carry s as a string and a pinned read would explode
+    // at scan time instead
+    val ex = intercept[IllegalArgumentException] {
+      log.writeAppend(Seq((3L, 0.5)).toDF("id", "s"))
+    }
+    assert(ex.getMessage.contains("'s'"))
+    // re-adding at the ORIGINAL type is fine
+    log.writeAppend(Seq((3L, "c")).toDF("id", "s"))
+    val back = log.read(spark).get
+    assert(back.columns.toSeq == Seq("id", "s") && back.count() == 3)
+    assert(back.where(col("s").isNull).count() == 1) // the dropped-era row
+  }
+
+  test("manifest robustness: string stats bounds with control characters round-trip; stale-version replace returns false") {
+    val spark2 = spark
+    import spark2.implicits._
+    val log = new TxLog(tmp("txlog-ctrl"))
+    // a newline inside a string bound must not brick the manifest
+    log.writeAppend(Seq(("a\nb\tc", 1L), ("zz", 2L)).toDF("s", "id"),
+      statsCols = Seq("s", "id"))
+    val snap = log.snapshot() // parses the manifest — must not throw
+    assert(snap.entries.head.stats("s").min == "a\nb\tc")
+    assert(log.pruneRange(snap, "s", Some("a"), Some("a\nz")).size == 1)
+    // a replace computed against a vacuumed-away version loses the CAS
+    // gracefully (false), never crashes on the missing manifest
+    log.writeAppend(Seq(("q", 3L)).toDF("s", "id"))
+    log.vacuum(keepVersions = 1, orphanGraceMs = 0L)
+    assert(!log.commitReplace(Vector.empty, expectedVersion = 0L))
+  }
+
+  test("reserved _part guard is case-insensitive; legacy first declaration checked against footers") {
+    val spark2 = spark
+    import spark2.implicits._
+    val log = new TxLog(tmp("txlog-guards"))
+    intercept[IllegalArgumentException] {
+      log.writePartitionedAppend(Seq((1L, "x")).toDF("id", "_PART"),
+        col("id").cast("string"), statsCols = Nil): Unit
+    }
+    // legacy store (raw commit, no schema) whose files say id:string —
+    // a first declaration of id:long must be rejected, not pinned
+    val legacy = new TxLog(tmp("txlog-legacy"))
+    val dir = legacy.newDataDir()
+    Seq(("1", "a")).toDF("id", "s").write.parquet(dir.getPath)
+    legacy.commitAppend(Seq(TxEntry(legacy.relativize(dir), -1L)))
+    val ex = intercept[IllegalArgumentException] {
+      legacy.writeAppend(Seq((2L, "b")).toDF("id", "s"))
+    }
+    assert(ex.getMessage.contains("'id'"))
+    // matching declaration over the same legacy store is accepted
+    legacy.writeAppend(Seq(("2", "b")).toDF("id", "s"))
+    assert(legacy.read(spark).get.count() == 2)
+  }
+
   test("schema evolution through MergeWriter: evolved store reads old batches with nulls; readAsOf keeps the old shape") {
     val spark2 = spark
     import spark2.implicits._
