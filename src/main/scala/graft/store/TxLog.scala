@@ -297,6 +297,53 @@ final class TxLog(val root: String) {
     readEntries(spark, snap.entries, snap.schemaJson)
   }
 
+  /** Metadata-only DDL — the `ALTER TABLE ADD COLUMN` analog. Commits
+    * a manifest whose schema gains `name: dataType` with ZERO data
+    * written or rewritten (the defining Iceberg property: on a 100-TB
+    * table this is one tiny JSON commit); every existing file reads
+    * the new column as null. Fails if the table has no declared schema
+    * yet (declare one with a writer first — there is nothing to alter),
+    * if the column already exists, or if the lineage forbids the type
+    * (see [[TxLog.evolve]]). Returns the committed version.
+    */
+  def alterAddColumn(name: String,
+                     dataType: org.apache.spark.sql.types.DataType): Long =
+    alter("alter-add") { curSchema =>
+      require(!curSchema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column '$name' already exists")
+      curSchema.add(name, dataType)
+    }
+
+  /** Metadata-only DDL — the `ALTER TABLE DROP COLUMN` analog: the
+    * column disappears from every read, no data touched. The lineage
+    * remembers its type, so a later re-add must use the original type.
+    * Returns the committed version.
+    */
+  def alterDropColumn(name: String): Long =
+    alter("alter-drop") { curSchema =>
+      require(curSchema.fieldNames.contains(name), s"no column '$name'")
+      require(curSchema.fields.length > 1, "cannot drop the last column")
+      org.apache.spark.sql.types.StructType(
+        curSchema.fields.filterNot(_.name == name))
+    }
+
+  /** DDL commit loop: the new schema is derived from the snapshot it
+    * is committed against (replace-CAS, retried on conflict), so a
+    * concurrent commit's schema change can never be silently clobbered
+    * by an alter computed from a stale snapshot.
+    */
+  @tailrec
+  private def alter(op: String)(f: org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.types.StructType): Long = {
+    val cur = snapshot()
+    val curSchema = cur.schemaJson.map(TxLog.structOf).getOrElse(
+      sys.error(s"table at $root has no declared schema to alter " +
+        "(write with a schema-declaring writer first)"))
+    if (commitReplace(cur.entries, cur.version, op = op,
+        schemaJson = Some(f(curSchema).json))) cur.version + 1
+    else alter(op)(f)
+  }
+
   /** First schema declaration over a LEGACY (pre-evolution) non-empty
     * table: the declared schema must be checked against what the live
     * files actually contain, or pinning would break reads of old files

@@ -649,6 +649,41 @@ class TxLogSpec extends SparkSpecBase {
     assert(legacy.read(spark).get.count() == 2)
   }
 
+  test("metadata-only ALTER TABLE: add/drop columns without touching data; lineage enforced on re-add") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    val log = new TxLog(tmp("txlog-alter"))
+    log.writeAppend(Seq((1L, "a")).toDF("id", "s"))
+    def dataFiles(): Int = {
+      def walk(f: File): Int =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        else 1
+      walk(new File(log.root, "data"))
+    }
+    val before = dataFiles()
+    log.alterAddColumn("score", DoubleType)
+    assert(dataFiles() == before, "ALTER must write zero data")
+    val df = log.read(spark).get
+    assert(df.columns.toSeq == Seq("id", "s", "score"))
+    assert(df.where(col("score").isNull).count() == 1)
+    // a writer can then fill the altered-in column
+    log.writeAppend(Seq((2L, "b", 0.5)).toDF("id", "s", "score"))
+    assert(log.read(spark).get.where(col("score") === 0.5).count() == 1)
+    // drop is also metadata-only, and the lineage survives it
+    log.alterDropColumn("s")
+    assert(log.read(spark).get.columns.toSeq == Seq("id", "score"))
+    intercept[IllegalArgumentException] {
+      log.alterAddColumn("s", LongType) // s was committed as string
+    }
+    log.alterAddColumn("s", StringType): Unit // original type: fine
+    assert(log.read(spark).get.columns.toSeq == Seq("id", "score", "s"))
+    // duplicate add is rejected case-insensitively (resolver semantics)
+    intercept[IllegalArgumentException] {
+      log.alterAddColumn("ID", LongType)
+    }
+  }
+
   test("schema evolution through MergeWriter: evolved store reads old batches with nulls; readAsOf keeps the old shape") {
     val spark2 = spark
     import spark2.implicits._
