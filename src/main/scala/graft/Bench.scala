@@ -27,22 +27,33 @@ object Bench {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }.min
 
+    // optional name filter for targeted A/B runs (unset = full surface,
+    // the driver's mode); the headline pipeline still runs unless
+    // filtered out by not matching "pipeline_clusters"
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
+
     // headline: full dedup pipeline (docs -> verified pairs -> clusters)
     val docs = Dedup.fromDocuments(
       spark.read.parquet(s"$sfDir/documents.parquet"))
     val nDocs = docs.count()
     // warmup (codegen + JIT) on a slice, then timed runs
     Dedup.pairsMaterialized(docs.limit(500), DedupConfig()).count()
-    val pipeSec = timedMin {
-      Dedup.clusters(Dedup.pairsMaterialized(docs, DedupConfig())).count(): Unit
-    }
-    val docsPerSec = nDocs / pipeSec
+    val pipeSec =
+      if (!wanted("pipeline_clusters")) -1.0
+      else timedMin {
+        Dedup.clusters(Dedup.pairsMaterialized(docs, DedupConfig())).count(): Unit
+      }
+    val docsPerSec = if (pipeSec > 0) nDocs / pipeSec else -1.0
 
     // a failing query must NOT be silently recorded as a fast success
     // (its error-path wall time would read as a performance win) — it
     // keeps the run alive but is reported in "failed"
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => wanted(name) }
+      .map { case (name, fn) =>
       val sec = timedMin {
         try { fn(spark, sfDir).count(): Unit }
         catch { case e: Throwable =>
@@ -57,10 +68,13 @@ object Bench {
       // it out of the total
       name -> (if (failed.contains(name)) -1.0 else sec)
     }
-    val qs = (results :+ ("pipeline_clusters" -> pipeSec))
+    val withPipe =
+      if (pipeSec >= 0) results :+ ("pipeline_clusters" -> pipeSec)
+      else results
+    val qs = withPipe
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum + pipeSec
+    val total = withPipe.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","docs_per_sec":$docsPerSec,"n_docs":$nDocs,"reps":$reps,"agg":"min"}""")
     spark.stop()
