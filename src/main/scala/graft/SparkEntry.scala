@@ -58,7 +58,8 @@ object SparkEntry {
     val want = fp(ev)
     // reuse only a complete, stats-bearing, content-identical build
     def ok: Boolean = current.exists &&
-      current.snapshot().entries.forall(_.stats.contains("ts")) &&
+      current.snapshot().entries.forall(e =>
+        e.stats.contains("ts") && e.blooms.contains("event_id")) &&
       current.read(s).exists(d => fp(d) == want)
     if (!ok) {
       val build = new java.io.File(
@@ -69,7 +70,7 @@ object SparkEntry {
       // commit carries one manifest entry per week
       bl.writePartitionedAppend(ev,
         date_format(date_trunc("week", col("ts")), "yyyyMMdd"),
-        statsCols = Seq("ts")): Unit
+        statsCols = Seq("ts"), bloomCols = Seq("event_id")): Unit
       val rootF = new java.io.File(root)
       java.nio.file.Files.createDirectories(rootF.toPath.getParent)
       var staged = Option(build)
@@ -507,6 +508,20 @@ object SparkEntry {
     // intersect the window are opened; the row filter then applies the
     // exact bounds. Result is pruning-independent by construction —
     // the DuckDB oracle over the raw events table proves it.
+    // point-lookup skip-scan over the same weekly TxLog table: an
+    // IN-list of event ids prunes via per-partition BLOOM sidecars —
+    // the skipping that min/max stats cannot do for a high-cardinality
+    // key (every week's id range spans nearly the whole key space).
+    // The row-level filter on top makes pruning purely an optimization,
+    // so the DuckDB oracle checks exact equality of the final rows.
+    "q_txlog_point" -> ((s, dir) => {
+      val ids = Seq(17L, 421L, 933L)
+      eventsTxLog(s, dir).readPoint(s, "event_id", ids)
+        .getOrElse(sys.error("events txlog table is empty"))
+        .where(col("event_id").isin(ids: _*))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 4).as("value_r"))
+    }),
     "q_txlog_prune" -> ((s, dir) => {
       // the events ts column is TIMESTAMP_NTZ — probe in the same
       // wall-clock domain (a zoned Instant probe would be incomparable
@@ -970,6 +985,9 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users " +
         "FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' " +
         "AND ts < TIMESTAMP '2024-01-17 00:00:00' GROUP BY 1"),
+    "q_txlog_point" ->
+      ("SELECT event_id, user_id, event_type, round(value, 4) AS value_r " +
+        "FROM events WHERE event_id IN (17, 421, 933)"),
     "q_txlog_prune" ->
       ("SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value " +
         "FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' " +

@@ -19,15 +19,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final case class ColStats(typ: String, min: String, max: String)
 
+/** Per-column Bloom-filter metadata for one committed data directory —
+  * the Iceberg/Delta file-level Bloom analog for POINT lookups, where
+  * min/max stats are useless (a high-cardinality key like a url or an
+  * id spans nearly the full value range in every file, so a range probe
+  * prunes nothing). The filter's bit array lives in a sidecar file
+  * (`file`, relative to the entry's directory, named `_bloom_<col>.bin`
+  * so Spark's hidden-file listing never reads it as data); the manifest
+  * carries only the geometry, keeping manifests small at 100-TB scale.
+  * `mBits` is a power of two; `k` is the probe count. Membership tests
+  * are conservative: a missing/corrupt sidecar or unknown geometry
+  * keeps the entry — Bloom skipping is an optimization, never a
+  * correctness input.
+  */
+final case class BloomMeta(mBits: Int, k: Int, file: String)
+
 /** One committed data directory: `path` is relative to the table root
   * (always under `data/`), `batch` is the logical writer batch id
   * (−1 for plain appends). The `_batch` COLUMN inside the files carries
   * the same id for read-time last-writer-wins resolution. `stats`
   * optionally carries per-column min/max bounds for manifest-level
-  * file skipping ([[TxLog.pruneRange]]).
+  * file skipping ([[TxLog.pruneRange]]); `blooms` optionally carries
+  * per-column Bloom filters for point-lookup skipping
+  * ([[TxLog.prunePoint]]).
   */
 final case class TxEntry(path: String, batch: Long,
-                         stats: Map[String, ColStats] = Map.empty)
+                         stats: Map[String, ColStats] = Map.empty,
+                         blooms: Map[String, BloomMeta] = Map.empty)
 
 /** An immutable view of the table at one committed version.
   * `schemaJson` is the table schema as of this version (Spark
@@ -365,19 +383,51 @@ final class TxLog(val root: String) {
   /** Stage `df` into a fresh data directory and commit it as an append,
     * optionally stamping per-column min/max stats on `statsCols`
     * (computed by reading back only those columns of the just-written
-    * files — footer-cheap relative to the write). Returns the committed
-    * version.
+    * files — footer-cheap relative to the write) and per-column Bloom
+    * filters on `bloomCols` (one extra column-pruned pass per bloom
+    * column; see [[BloomMeta]] / [[TxLog.prunePoint]]). Returns the
+    * committed version.
     */
   def writeAppend(df: DataFrame, batch: Long = -1L,
-                  statsCols: Seq[String] = Nil): Long = {
+                  statsCols: Seq[String] = Nil,
+                  bloomCols: Seq[String] = Nil): Long = {
     requireLegacyCompatible(df.sparkSession, df.schema.json)
     val dir = newDataDir()
     df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir.getPath)
     val stats =
       if (statsCols.isEmpty) Map.empty[String, ColStats]
       else TxLog.statsOf(df.sparkSession, dir.getPath, statsCols)
-    commitAppend(Seq(TxEntry(relativize(dir), batch, stats)),
+    val blooms = writeBloomSidecars(df.sparkSession, dir, bloomCols)
+    commitAppend(Seq(TxEntry(relativize(dir), batch, stats, blooms)),
       schemaJson = Some(df.schema.json))
+  }
+
+  /** Build and write `_bloom_<col>.bin` sidecars for the just-written
+    * data directory `dir`: one distributed pass per bloom column (the
+    * scan is column-pruned; partial filters are OR-folded, so the
+    * shuffle carries one bit array per task, never the keys). Bloom
+    * keys are hashed over their canonical STRING rendering, which must
+    * match the probe side ([[TxLog.encodeValue]]) — hence only string
+    * and integral key columns are accepted (the point-lookup types:
+    * urls, ids); anything else is a caller bug and fails loudly.
+    */
+  private def writeBloomSidecars(spark: SparkSession, dir: File,
+                                 bloomCols: Seq[String]): Map[String, BloomMeta] = {
+    import org.apache.spark.sql.functions.col
+    if (bloomCols.isEmpty) return Map.empty
+    val back = spark.read.parquet(dir.getPath)
+    bloomCols.foreach { c =>
+      require(back.columns.contains(c), s"bloom column '$c' not in data")
+      TxLog.requireBloomable(c, back.schema(c).dataType)
+    }
+    val mBits = TxLog.bloomBitsFor(back.count()) // footer-only count
+    bloomCols.map { c =>
+      val bits = TxLog.buildBloomBits(
+        back.select(col(c).cast("string")), mBits)
+      val fname = s"_bloom_$c.bin"
+      Files.write(new File(dir, fname).toPath, bits)
+      c -> BloomMeta(mBits, TxLog.BloomK, fname)
+    }.toMap
   }
 
   /** Hidden-partitioning append (Iceberg partition-transform analog):
@@ -395,8 +445,8 @@ final class TxLog(val root: String) {
     */
   def writePartitionedAppend(df: DataFrame, partExpr:
       org.apache.spark.sql.Column, statsCols: Seq[String],
-      batch: Long = -1L): Long = {
-    import org.apache.spark.sql.functions.{col, max, min}
+      batch: Long = -1L, bloomCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
     // case-INsensitive: withColumn resolves case-insensitively by
     // default, so a column named _PART would be silently overwritten
     require(!df.columns.exists(_.equalsIgnoreCase("_part")),
@@ -416,24 +466,55 @@ final class TxLog(val root: String) {
       .schema(df.schema.add("_part", org.apache.spark.sql.types.StringType))
       .parquet(dir.getPath)
     val present = statsCols.filter(back.columns.contains)
+    // per-partition row counts ride the same aggregation (they size the
+    // per-partition Bloom filters; harmless when no blooms requested)
     val aggs = present.flatMap(c =>
-      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
-    val rows =
-      if (aggs.isEmpty) back.select(col("_part")).distinct().collect()
-      else back.groupBy(col("_part")).agg(aggs.head, aggs.tail: _*).collect()
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))) :+
+      count(lit(1)).as("__cnt")
+    val rows = back.groupBy(col("_part")).agg(aggs.head, aggs.tail: _*).collect()
     require(rows.nonEmpty, "writePartitionedAppend of an empty DataFrame")
-    val entries = rows.toSeq.map { r =>
+    // validate partition values BEFORE any path is derived from them
+    // (the bloom sidecar write below builds file paths out of them)
+    rows.foreach { r =>
       val part = r.getString(0)
       require(part != null && part.matches("[A-Za-z0-9._\\-]+"),
         s"partition value '$part' is not filesystem-safe — format the " +
           "partition expression to [A-Za-z0-9._-]+ (e.g. date_format)")
+    }
+    val partCounts: Map[String, Long] =
+      rows.map(r => r.getString(0) -> r.getLong(1 + 2 * present.size)).toMap
+    // per-partition Bloom sidecars: ONE grouped pass per bloom column
+    // (keys stream through mapGroups; each task holds one bit array),
+    // sized from the partition's own row count
+    bloomCols.foreach { c =>
+      require(back.columns.contains(c), s"bloom column '$c' not in data")
+      TxLog.requireBloomable(c, df.schema(c).dataType)
+    }
+    val partBlooms: Map[String, Map[String, BloomMeta]] =
+      if (bloomCols.isEmpty) Map.empty
+      else {
+        val mOf = partCounts.map { case (p, n) => p -> TxLog.bloomBitsFor(n) }
+        bloomCols.flatMap { c =>
+          TxLog.buildGroupedBloomBits(
+            back.select(col("_part"), col(c).cast("string")), mOf)
+            .map { case (part, bits) =>
+              val fname = s"_bloom_$c.bin"
+              Files.write(
+                new File(dir, s"_part=$part/$fname").toPath, bits)
+              (part, c -> BloomMeta(mOf(part), TxLog.BloomK, fname))
+            }
+        }.groupBy(_._1).map { case (p, ms) => p -> ms.map(_._2).toMap }
+      }
+    val entries = rows.toSeq.map { r =>
+      val part = r.getString(0)
       val stats = present.zipWithIndex.flatMap { case (c, i) =>
         for {
           mn <- Option(r.get(1 + 2 * i)).flatMap(TxLog.encodeValue)
           mx <- Option(r.get(2 + 2 * i)).flatMap(TxLog.encodeValue)
         } yield c -> ColStats(mn._1, mn._2, mx._2)
       }.toMap
-      TxEntry(s"${relativize(dir)}/_part=$part", batch, stats)
+      TxEntry(s"${relativize(dir)}/_part=$part", batch, stats,
+        partBlooms.getOrElse(part, Map.empty))
     }
     // the declared table schema is the INPUT schema — `_part` is the
     // hidden partition key, not a table column
@@ -502,7 +583,8 @@ final class TxLog(val root: String) {
         .write.partitionBy("_part")
         .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir.getPath)
       val staged = hot.toSeq.sortBy(_._1).map { case (p, es) =>
-        TxEntry(s"${relativize(dir)}/$p", -1L, TxLog.mergeStats(es.map(_.stats)))
+        TxEntry(s"${relativize(dir)}/$p", -1L, TxLog.mergeStats(es.map(_.stats)),
+          mergeBloomSidecars(es, new File(dir, p)))
       }
       if (commitReplace(untouched ++ staged, snap.version,
           op = "compact-partitions")) {
@@ -562,6 +644,68 @@ final class TxLog(val root: String) {
     }
   }
 
+  /** Manifest-level POINT-lookup skipping (IN-list semantics): the
+    * entries of `snap` that can contain a row with `column` equal to
+    * ANY of `values`. Each entry is probed first against its min/max
+    * stats (equality is a degenerate range), then against its Bloom
+    * filter ([[BloomMeta]]) — the filter that actually bites on
+    * high-cardinality keys, where every file's min/max spans the whole
+    * key space. Entries without stats/bloom for the column, unreadable
+    * sidecars, and probe domains the bloom cannot canonicalize
+    * (anything but string/integral) are KEPT — skipping is never lossy.
+    * The caller still applies the exact row-level predicate.
+    */
+  def prunePoint(snap: TxSnapshot, column: String,
+                 values: Seq[Any]): Vector[TxEntry] = {
+    require(values.nonEmpty, "prunePoint of no probe values")
+    val enc = values.map(v => TxLog.encodeValue(v).getOrElse(
+      sys.error(s"prunePoint: unsupported probe value class ${v.getClass}")))
+    // sidecars are read at most once per entry per call, driver-side
+    // (they are KBs; the whole point is avoiding executor-side scans)
+    val sidecars = scala.collection.mutable.Map.empty[String, Option[Array[Byte]]]
+    def bits(e: TxEntry, bm: BloomMeta): Option[Array[Byte]] =
+      sidecars.getOrElseUpdate(s"${e.path}/${bm.file}",
+        try {
+          val b = Files.readAllBytes(
+            new File(root, s"${e.path}/${bm.file}").toPath)
+          if (b.length.toLong * 8 == bm.mBits) Some(b) else None // corrupt
+        } catch { case _: java.io.IOException => None })
+    snap.entries.filter { e =>
+      enc.exists { case (t, v) =>
+        val statsKeep = e.stats.get(column).forall { cs =>
+          TxLog.cmp(cs.typ, cs.max, t, v).forall(_ >= 0) &&
+            TxLog.cmp(cs.typ, cs.min, t, v).forall(_ <= 0)
+        }
+        def bloomKeep = e.blooms.get(column) match {
+          case Some(bm) if TxLog.bloomProbeDomains(t) =>
+            bits(e, bm).forall(b =>
+              TxLog.testBloomBits(b, TxLog.bloomPositions(v, bm.mBits, bm.k)))
+          case _ => true
+        }
+        statsKeep && bloomKeep
+      }
+    }
+  }
+
+  /** Snapshot-isolated read of only the data directories that can hold
+    * `column IN (values)` per [[prunePoint]] — the point-lookup
+    * skip-scan (url/id lookups on a 100-TB table open a handful of
+    * directories instead of all of them). Same empty-result contract
+    * as [[readRange]]: when everything is pruned one directory is still
+    * read so the caller's row filter yields a correctly-typed empty
+    * result; None only when the table itself is empty.
+    */
+  def readPoint(spark: SparkSession, column: String,
+                values: Seq[Any]): Option[DataFrame] = {
+    val snap = snapshot()
+    if (snap.entries.isEmpty) None
+    else {
+      val kept = prunePoint(snap, column, values)
+      Some(readEntries(spark,
+        if (kept.nonEmpty) kept else snap.entries.take(1), snap.schemaJson))
+    }
+  }
+
   /** Read only the given entries (e.g. the delta since a remembered
     * version's path set), optionally pinned to a manifest schema (see
     * [[readSnapshot]]).
@@ -574,6 +718,40 @@ final class TxLog(val root: String) {
       case None    => spark.read
     }
     reader.parquet(entries.map(e => new File(root, e.path).getPath): _*)
+  }
+
+  /** Bloom filters survive a row-preserving partition rewrite by
+    * OR-folding the source sidecars (a Bloom union is exact for the
+    * union of key sets — no read-back of the data): a column keeps its
+    * filter only if EVERY source entry carries one at the SAME geometry
+    * with a readable sidecar; anything else drops the column's filter
+    * (pruning then keeps the merged entry — conservative, never lossy).
+    * The merged sidecar is written into the staged partition directory,
+    * so a CAS-aborted rewrite discards it with the staged data.
+    */
+  private def mergeBloomSidecars(es: Seq[TxEntry],
+                                 destDir: File): Map[String, BloomMeta] = {
+    val common = es.map(_.blooms.keySet).reduce(_ intersect _)
+    common.flatMap { c =>
+      val ms = es.map(_.blooms(c))
+      val geom = ms.map(m => (m.mBits, m.k)).distinct
+      if (geom.size != 1) None
+      else try {
+        val (mBits, k) = geom.head
+        val acc = new Array[Byte](mBits / 8)
+        es.zip(ms).foreach { case (e, bm) =>
+          val b = Files.readAllBytes(
+            new File(root, s"${e.path}/${bm.file}").toPath)
+          if (b.length != acc.length)
+            throw new java.io.IOException(s"bloom sidecar size mismatch: $c")
+          var i = 0
+          while (i < acc.length) { acc(i) = (acc(i) | b(i)).toByte; i += 1 }
+        }
+        val fname = s"_bloom_$c.bin"
+        Files.write(new File(destDir, fname).toPath, acc)
+        Some(c -> BloomMeta(mBits, k, fname))
+      } catch { case _: java.io.IOException => None }
+    }.toMap
   }
 
   // --- commit internals --------------------------------------------------
@@ -657,16 +835,21 @@ final class TxLog(val root: String) {
                      colLineage: Map[String, String]): String = {
     val es = entries.map { e =>
       val base = s"""{"path":"${e.path}","batch":${e.batch}"""
-      if (e.stats.isEmpty) base + "}"
-      else {
-        // sorted for deterministic manifests (string-typed bounds can
-        // hold arbitrary data values — e.g. urls — hence the escaping)
-        val ss = e.stats.toSeq.sortBy(_._1).map { case (c, cs) =>
+      // sorted for deterministic manifests (string-typed bounds can
+      // hold arbitrary data values — e.g. urls — hence the escaping)
+      val statsSeg =
+        if (e.stats.isEmpty) ""
+        else e.stats.toSeq.sortBy(_._1).map { case (c, cs) =>
           s"""${jstr(c)}:{"typ":${jstr(cs.typ)},"min":${jstr(cs.min)},""" +
             s""""max":${jstr(cs.max)}}"""
-        }.mkString(",")
-        base + s""","stats":{$ss}}"""
-      }
+        }.mkString(""","stats":{""", ",", "}")
+      val bloomSeg =
+        if (e.blooms.isEmpty) ""
+        else e.blooms.toSeq.sortBy(_._1).map { case (c, bm) =>
+          s"""${jstr(c)}:{"m":${bm.mBits},"k":${bm.k},""" +
+            s""""file":${jstr(bm.file)}}"""
+        }.mkString(""","blooms":{""", ",", "}")
+      base + statsSeg + bloomSeg + "}"
     }.mkString(",")
     // the schema is itself JSON (StructType.json) but is embedded as an
     // ESCAPED STRING, not inline JSON — round-trips byte-identically
@@ -713,7 +896,25 @@ final class TxLog(val root: String) {
           }.toMap
           case other => sys.error(s"bad manifest entry stats: $other")
         }
-        TxEntry(path, batch, stats)
+        // blooms are optional (absent in pre-bloom manifests); present
+        // but malformed is corruption and fails loudly
+        val blooms = it \ "blooms" match {
+          case JNothing => Map.empty[String, BloomMeta]
+          case JObject(fields) => fields.map { case (name, v) =>
+            def num(k: String): Int = v \ k match {
+              case JInt(n)  => n.toInt
+              case JLong(n) => n.toInt
+              case other    => sys.error(s"bad manifest blooms.$k: $other")
+            }
+            val file = v \ "file" match {
+              case JString(s) => s
+              case other      => sys.error(s"bad manifest blooms.file: $other")
+            }
+            name -> BloomMeta(num("m"), num("k"), file)
+          }.toMap
+          case other => sys.error(s"bad manifest entry blooms: $other")
+        }
+        TxEntry(path, batch, stats, blooms)
       }.toVector
       case other => sys.error(s"bad manifest entries: $other")
     }
@@ -825,6 +1026,142 @@ object TxLog {
   private[graft] def deleteRecursively(f: File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
+  }
+
+  // --- point-lookup Bloom filters (see BloomMeta) -------------------------
+
+  /** Probe count. With ~10 bits/key (see [[bloomBitsFor]]) k=7 sits at
+    * the optimal ln2·(m/n) and yields ≈0.8% false-positive keeps.
+    */
+  private[store] val BloomK = 7
+
+  /** Bloom geometry for `n` keys: the power of two nearest above
+    * 10 bits/key, clamped to [2^13, 2^23] bits (1 KB – 1 MB sidecar).
+    * Entries beyond ~800k keys degrade FPR gracefully rather than grow
+    * the sidecar unboundedly — at that size the entry is compaction's
+    * problem, not the filter's.
+    */
+  private[store] def bloomBitsFor(n: Long): Int = {
+    val want = math.max(1L << 13, math.min(10L * math.max(n, 1L), 1L << 23))
+    java.lang.Long.highestOneBit(want - 1).toInt << 1 // next power of two
+  }
+
+  /** The probe domains whose [[encodeValue]] rendering matches Spark's
+    * `CAST(col AS STRING)` byte-for-byte — the invariant that lets the
+    * writer hash cast-to-string columns and the prober hash plain JVM
+    * values. Integral numbers and strings qualify (the point-lookup key
+    * types); doubles/timestamps/dates do not (their renderings differ)
+    * and fall back to stats-only pruning.
+    */
+  private[store] def bloomProbeDomains(typ: String): Boolean =
+    typ == "long" || typ == "string"
+
+  /** Writer-side gate for the same invariant (see [[bloomProbeDomains]]):
+    * only string and integral columns may carry Bloom filters.
+    */
+  private[store] def requireBloomable(
+      name: String, t: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types._
+    val ok = t == StringType || t == LongType || t == IntegerType ||
+      t == ShortType || t == ByteType
+    require(ok, s"bloom column '$name' has type ${t.simpleString}; Bloom " +
+      "point-lookup keys must be string or integral (their canonical " +
+      "string rendering must match the probe side)")
+    // the column name becomes part of the sidecar file name
+    require(name.matches("[A-Za-z0-9._\\-]+"),
+      s"bloom column name '$name' is not filesystem-safe")
+  }
+
+  private val BloomSeed1 = 0x9E3779B97F4A7C15L
+  private val BloomSeed2 = 0xC2B2AE3D27D4EB4FL
+
+  /** The k bit positions of `key` in an m-bit filter, by double hashing
+    * two independent XXH64 values (Kirsch–Mitzenmacher): identical on
+    * the build and probe sides by construction.
+    */
+  private[store] def bloomPositions(key: String, mBits: Int, k: Int): Array[Int] = {
+    val bytes = key.getBytes(UTF_8)
+    val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(bytes, off, bytes.length, BloomSeed1)
+    // forced odd so successive probes never collapse onto one position
+    val h2 = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(bytes, off, bytes.length, BloomSeed2) | 1L
+    val out = new Array[Int](k)
+    var i = 0
+    while (i < k) {
+      out(i) = (((h1 + i.toLong * h2) & Long.MaxValue) % mBits).toInt
+      i += 1
+    }
+    out
+  }
+
+  private def orInto(acc: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < acc.length) { acc(i) = (acc(i) | b(i)).toByte; i += 1 }
+    acc
+  }
+
+  private[store] def setBloomBits(bits: Array[Byte], pos: Array[Int]): Unit = {
+    var i = 0
+    while (i < pos.length) {
+      bits(pos(i) >>> 3) = (bits(pos(i) >>> 3) | (1 << (pos(i) & 7))).toByte
+      i += 1
+    }
+  }
+
+  private[store] def testBloomBits(bits: Array[Byte], pos: Array[Int]): Boolean = {
+    var i = 0
+    while (i < pos.length) {
+      if ((bits(pos(i) >>> 3) & (1 << (pos(i) & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Distributed Bloom build over a single-column DataFrame of string
+    * keys: each task folds its partition into one m-bit array, the
+    * partials OR-reduce — the exchange carries one bit array per task,
+    * never the keys. Nulls are skipped (a null probe is not a point
+    * lookup). An empty input yields the all-zero filter (correctly
+    * prunes every probe).
+    */
+  private[store] def buildBloomBits(keys: DataFrame, mBits: Int): Array[Byte] = {
+    val partials = keys.toDF("__k")
+      .mapPartitions { it =>
+        val bits = new Array[Byte](mBits / 8)
+        while (it.hasNext) {
+          val r = it.next()
+          if (!r.isNullAt(0))
+            setBloomBits(bits, bloomPositions(r.getString(0), mBits, BloomK))
+        }
+        Iterator.single(bits)
+      }(org.apache.spark.sql.Encoders.BINARY)
+    try partials.reduce(orInto _)
+    catch { // zero-partition input (e.g. an empty relation)
+      case _: UnsupportedOperationException => new Array[Byte](mBits / 8)
+    }
+  }
+
+  /** Per-group Bloom build over (group, key) rows: keys STREAM through
+    * mapGroups, each task holding one group's bit array (sized from
+    * `mOf`, the per-group geometry — small, rides the closure). Groups
+    * absent from `mOf` cannot occur by construction (the caller derives
+    * it from the same data's aggregation).
+    */
+  private[store] def buildGroupedBloomBits(
+      rows: DataFrame, mOf: Map[String, Int]): Seq[(String, Array[Byte])] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.toDF("__g", "__k").as[(String, Option[String])]
+      .groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val m = mOf(g)
+        val bits = new Array[Byte](m / 8)
+        it.foreach(_._2.foreach(k =>
+          setBloomBits(bits, bloomPositions(k, m, BloomK))))
+        (g, bits)
+      }.collect().toSeq
   }
 
   // --- column-stats encoding (see ColStats) -------------------------------

@@ -25,6 +25,19 @@ class EntrySmokeSpec extends SparkSpecBase {
     assert(pruned.where(cond).count() == full.where(cond).count())
   }
 
+  test("q_txlog_point's Bloom skip opens strictly fewer files than the full table and loses no rows") {
+    val dir = "/root/testdata/sf0.001"
+    val log = SparkEntry.eventsTxLog(spark, dir)
+    val ids = Seq(17L, 421L, 933L)
+    val pruned = log.readPoint(spark, "event_id", ids).get
+    val full = log.read(spark).get
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"no skipping: ${pruned.inputFiles.length} vs ${full.inputFiles.length}")
+    val in = org.apache.spark.sql.functions.col("event_id").isin(ids: _*)
+    assert(pruned.where(in).count() == full.where(in).count())
+    assert(full.where(in).count() == 3L)
+  }
+
   test("every SparkEntry query evaluates at sf0.001 and oracle keys are a subset") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, "/root/testdata/sf0.001").count()

@@ -702,4 +702,106 @@ class TxLogSpec extends SparkSpecBase {
     assert(w.read().columns.toSeq == Seq("k", "v", "score"))
     assert(w.read().where(col("score").isNull).count() == 1)
   }
+
+  test("Bloom point-skip: high-cardinality keys prune to the right directory where min/max cannot") {
+    val spark2 = spark
+    import spark2.implicits._
+    val log = new TxLog(tmp("txlog-bloom"))
+    // three appends with fully INTERLEAVED key ranges: every dir's
+    // min/max spans ~the whole key space, so stats alone prune nothing
+    // — exactly the high-cardinality-key regime blooms exist for
+    (0 until 3).foreach { r =>
+      val keys = (0 until 300 by 3).map(i => f"u${i + r}%03d": String)
+      val rows = keys.map(k => (k, s"payload-$k")) :+ (null, "null-key-row")
+      log.writeAppend(rows.toDF("k", "v"), batch = r.toLong,
+        statsCols = Seq("k"), bloomCols = Seq("k")): Unit
+    }
+    val snap = log.snapshot()
+    assert(snap.entries.size == 3)
+    assert(snap.entries.forall(_.blooms.contains("k")))
+    // stats overlap on every entry: a range probe keeps all three
+    assert(log.pruneRange(snap, "k", Some("u004"), Some("u004")).size == 3)
+    // the bloom prunes to the single directory holding the key
+    val kept = log.prunePoint(snap, "k", Seq("u004"))
+    assert(kept.map(_.batch) == Vector(1L), s"kept ${kept.map(_.path)}")
+    // IN-list across two dirs keeps exactly those two
+    assert(log.prunePoint(snap, "k", Seq("u004", "u006"))
+      .map(_.batch).toSet == Set(1L, 0L))
+    // an absent key prunes everything; readPoint still yields a
+    // correctly-typed empty result through its row filter
+    assert(log.prunePoint(snap, "k", Seq("zzz-not-there")).isEmpty)
+    val viaPoint = log.readPoint(spark, "k", Seq("zzz-not-there")).get
+      .where(col("k") === "zzz-not-there")
+    assert(viaPoint.columns.toSeq == Seq("k", "v") && viaPoint.count() == 0)
+    // point read + row filter ≡ full-scan filter (pruning is invisible)
+    val ids = Seq("u004", "u152", "u299")
+    val got = log.readPoint(spark, "k", ids).get
+      .where(col("k").isin(ids: _*)).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val want = log.read(spark).get
+      .where(col("k").isin(ids: _*)).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want && got.map(_._1) == ids.toSet)
+  }
+
+  test("prunePoint: entries without blooms kept; non-bloomable probe domains fall back to stats; bad keys fail loudly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val log = new TxLog(tmp("txlog-bloom-fallback"))
+    log.writeAppend(Seq((10L, "a")).toDF("id", "v"),
+      statsCols = Seq("id"), bloomCols = Seq("id")): Unit
+    log.writeAppend(Seq((20L, "b")).toDF("id", "v")): Unit // no stats/bloom
+    val snap = log.snapshot()
+    // bloom-less entry always kept; bloomed entry pruned for a key it
+    // cannot contain (stats already exclude 99; bloom excludes 15)
+    assert(log.prunePoint(snap, "id", Seq(15L)).map(_.path) ==
+      snap.entries.filter(_.blooms.isEmpty).map(_.path))
+    // integral probe classes share the bloom's canonical rendering
+    assert(log.prunePoint(snap, "id", Seq(10)).size == 2)
+    // a double probe is not a bloom domain: falls back to stats-only
+    // (10.5 is outside no entry's [10,10] ∪ no-stats, so only the
+    // stats-less entry survives)
+    assert(log.prunePoint(snap, "id", Seq(10.5)).map(_.path) ==
+      snap.entries.filter(_.stats.isEmpty).map(_.path))
+    intercept[RuntimeException] {
+      log.prunePoint(snap, "id", Seq(new Object))
+    }
+    intercept[IllegalArgumentException] { // non-integral bloom key type
+      log.writeAppend(Seq((0.5, "x")).toDF("d", "v"), bloomCols = Seq("d"))
+    }
+  }
+
+  test("partitioned blooms OR-merge through compaction at uniform geometry; mixed geometry drops conservatively") {
+    val spark2 = spark
+    import spark2.implicits._
+    val log = new TxLog(tmp("txlog-bloom-compact"))
+    def write(ids: Seq[Long]): Unit =
+      log.writePartitionedAppend(ids.toDF("id"),
+        concat(lit("b"), pmod(col("id"), lit(2)).cast("string")),
+        statsCols = Nil, bloomCols = Seq("id")): Unit
+    // two same-sized writes: uniform bloom geometry per partition
+    write(0L until 100L)
+    write(1000L until 1100L)
+    val pre = log.snapshot()
+    assert(pre.entries.size == 4 && pre.entries.forall(_.blooms.contains("id")))
+    // a key from write 2 keeps only its (write, bucket) entry
+    assert(log.prunePoint(pre, "id", Seq(1042L)).size == 1)
+    assert(log.compactPartitions(spark, minEntries = 2, vacuumGraceMs = 0L))
+    val post = log.snapshot()
+    assert(post.entries.size == 2 && post.entries.forall(_.blooms.contains("id")))
+    // the merged bloom contains keys from BOTH source writes
+    assert(log.prunePoint(post, "id", Seq(42L)).size == 1)
+    assert(log.prunePoint(post, "id", Seq(1042L)).size == 1)
+    assert(log.prunePoint(post, "id", Seq(4242L)).isEmpty) // absent key
+    assert(log.read(spark).get.count() == 200)
+    // third write is much larger: its bloom geometry differs, so the
+    // next compaction drops the merged partitions' blooms instead of
+    // unioning incompatible filters — and stays correct
+    write(10000L until 14000L)
+    assert(log.compactPartitions(spark, minEntries = 2, vacuumGraceMs = 0L))
+    val mixed = log.snapshot()
+    assert(mixed.entries.size == 2 && mixed.entries.forall(_.blooms.isEmpty))
+    assert(log.prunePoint(mixed, "id", Seq(42L)).size == 2) // conservative
+    assert(log.read(spark).get.count() == 4200)
+  }
 }
