@@ -391,6 +391,12 @@ final class TxLog(val root: String) {
   def writeAppend(df: DataFrame, batch: Long = -1L,
                   statsCols: Seq[String] = Nil,
                   bloomCols: Seq[String] = Nil): Long = {
+    // validate bloom keys BEFORE the write — a bad bloom column is a
+    // caller bug and must not leave an orphaned data directory behind
+    bloomCols.foreach { c =>
+      require(df.columns.contains(c), s"bloom column '$c' not in data")
+      TxLog.requireBloomable(c, df.schema(c).dataType)
+    }
     requireLegacyCompatible(df.sparkSession, df.schema.json)
     val dir = newDataDir()
     df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir.getPath)
@@ -416,10 +422,6 @@ final class TxLog(val root: String) {
     import org.apache.spark.sql.functions.col
     if (bloomCols.isEmpty) return Map.empty
     val back = spark.read.parquet(dir.getPath)
-    bloomCols.foreach { c =>
-      require(back.columns.contains(c), s"bloom column '$c' not in data")
-      TxLog.requireBloomable(c, back.schema(c).dataType)
-    }
     val mBits = TxLog.bloomBitsFor(back.count()) // footer-only count
     bloomCols.map { c =>
       val bits = TxLog.buildBloomBits(
@@ -451,6 +453,11 @@ final class TxLog(val root: String) {
     // default, so a column named _PART would be silently overwritten
     require(!df.columns.exists(_.equalsIgnoreCase("_part")),
       "_part is reserved by writePartitionedAppend; rename the input column")
+    // same pre-write validation contract as writeAppend
+    bloomCols.foreach { c =>
+      require(df.columns.contains(c), s"bloom column '$c' not in data")
+      TxLog.requireBloomable(c, df.schema(c).dataType)
+    }
     requireLegacyCompatible(df.sparkSession, df.schema.json)
     val dir = newDataDir()
     df.withColumn("_part", partExpr.cast("string"))
@@ -486,10 +493,6 @@ final class TxLog(val root: String) {
     // per-partition Bloom sidecars: ONE grouped pass per bloom column
     // (keys stream through mapGroups; each task holds one bit array),
     // sized from the partition's own row count
-    bloomCols.foreach { c =>
-      require(back.columns.contains(c), s"bloom column '$c' not in data")
-      TxLog.requireBloomable(c, df.schema(c).dataType)
-    }
     val partBlooms: Map[String, Map[String, BloomMeta]] =
       if (bloomCols.isEmpty) Map.empty
       else {
