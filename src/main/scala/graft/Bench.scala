@@ -34,16 +34,20 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def wanted(name: String): Boolean = only.forall(_.contains(name))
 
-    // headline: full dedup pipeline (docs -> verified pairs -> clusters)
-    val docs = Dedup.fromDocuments(
-      spark.read.parquet(s"$sfDir/documents.parquet"))
-    val nDocs = docs.count()
-    // warmup (codegen + JIT) on a slice, then timed runs
-    Dedup.pairsMaterialized(docs.limit(500), DedupConfig()).count()
-    val pipeSec =
-      if (!wanted("pipeline_clusters")) -1.0
-      else timedMin {
-        Dedup.clusters(Dedup.pairsMaterialized(docs, DedupConfig())).count(): Unit
+    // headline: full dedup pipeline (docs -> verified pairs -> clusters).
+    // The corpus read, count, and dedup warmup exist only for this
+    // measurement — a targeted A/B run that filters it out skips them.
+    val (pipeSec, nDocs) =
+      if (!wanted("pipeline_clusters")) (-1.0, -1L)
+      else {
+        val docs = Dedup.fromDocuments(
+          spark.read.parquet(s"$sfDir/documents.parquet"))
+        val n = docs.count()
+        // warmup (codegen + JIT) on a slice, then timed runs
+        Dedup.pairsMaterialized(docs.limit(500), DedupConfig()).count()
+        (timedMin {
+          Dedup.clusters(Dedup.pairsMaterialized(docs, DedupConfig())).count(): Unit
+        }, n)
       }
     val docsPerSec = if (pipeSec > 0) nDocs / pipeSec else -1.0
 

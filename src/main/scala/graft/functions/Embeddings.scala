@@ -469,12 +469,13 @@ object Embeddings {
   * to a fresh train.
   *
   * Staleness guard: the store carries a corpus FINGERPRINT (row count +
-  * order-independent xxhash64 fold of the ids), and a DISK hit
-  * revalidates it against the live corpus — a regenerated corpus under
-  * a reused tag FAILS LOUDLY instead of silently probing stale
-  * centroids. The fingerprint is one ids-only column aggregate, far
-  * cheaper than the sample-collect + Lloyd it replaces; in-JVM memo
-  * hits trust the session and skip even that.
+  * order-independent xxhash64 fold of id AND embedding content), and a
+  * DISK hit revalidates it against the live corpus — a regenerated
+  * corpus under a reused tag FAILS LOUDLY instead of silently probing
+  * stale centroids, even when only the vectors changed and the id set
+  * did not. The fingerprint is one two-column aggregate, far cheaper
+  * than the sample-collect + Lloyd it replaces; in-JVM memo hits trust
+  * the session and skip even that.
   */
 object IvfCentroidStore {
   import graft.store.{TxEntry, TxLog}
@@ -482,9 +483,23 @@ object IvfCentroidStore {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 
-  /** (row count, order-independent id-hash fold) of the corpus. */
+  /** Fingerprint FORMULA version stored with the centroids: a store
+    * stamped by a different formula cannot be validated and takes the
+    * legacy retrain path. v2 = content hash over (id, embedding);
+    * v1 hashed ids only.
+    */
+  private val FpVersion = 2
+
+  /** (row count, order-independent CONTENT-hash fold) of the corpus.
+    * The hash covers the embedding vectors, not just the ids — a
+    * regenerated corpus that keeps sequential ids but redraws the
+    * vectors (same count, same id set) must still invalidate the
+    * store, or it would silently probe centroids trained on different
+    * data. xxhash64 folds the full array value.
+    */
   private def fingerprint(emb: DataFrame): (Long, Long) = {
-    val r = emb.agg(count(lit(1)), expr("bit_xor(xxhash64(id))")).head
+    val r = emb.agg(count(lit(1)),
+      expr("bit_xor(xxhash64(id, embedding))")).head
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
@@ -511,8 +526,9 @@ object IvfCentroidStore {
       val (fpN, fpHash) = fingerprint(emb)
       val dir = log.newDataDir()
       import spark.implicits._
-      trained.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq, fpN, fpHash) }
-        .toDF("cell", "vec", "fp_n", "fp_hash")
+      trained.toSeq.zipWithIndex
+        .map { case (v, i) => (i, v.toSeq, fpN, fpHash, FpVersion) }
+        .toDF("cell", "vec", "fp_n", "fp_hash", "fp_ver")
         .coalesce(1)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(dir.getPath)
@@ -524,7 +540,8 @@ object IvfCentroidStore {
       trained
     }
     val cents = log.read(spark) match {
-      case Some(df) if df.columns.contains("fp_n") =>
+      case Some(df) if df.columns.contains("fp_ver") &&
+          df.select(col("fp_ver")).head.getInt(0) == FpVersion =>
         val rows = df.select(col("cell"), col("vec"), col("fp_n"), col("fp_hash"))
           .collect().sortBy(_.getInt(0))
         val (liveN, liveHash) = fingerprint(emb)
@@ -538,8 +555,11 @@ object IvfCentroidStore {
               "stale store to retrain.")
         rows.map(_.getSeq[Float](1).toArray)
       case Some(_) =>
-        // legacy pre-fingerprint store: no way to validate it against
-        // the live corpus — retrain (deterministic) and replace
+        // legacy store: pre-fingerprint, or an older fingerprint
+        // FORMULA (fp_ver mismatch — e.g. the v1 ids-only hash, which
+        // could not see vector-content changes) — no way to validate
+        // it against the live corpus, so retrain (deterministic) and
+        // replace
         train()
       case None =>
         train()

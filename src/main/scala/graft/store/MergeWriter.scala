@@ -38,6 +38,13 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
   def upsert(batch: DataFrame, batchId: Long): Unit = {
     require(batchId != CompactedEntryTag,
       s"batchId $batchId is reserved for compacted entries")
+    // the read path synthesizes these and would silently overwrite and
+    // then drop a user column of the same name (writePartitionedAppend
+    // guards its reserved _part the same way)
+    Seq("_batch", "_seq", "_dir", "_entry_seq", "_rn").foreach { r =>
+      require(!batch.columns.exists(_.equalsIgnoreCase(r)),
+        s"column name '$r' is reserved by MergeWriter; rename the input column")
+    }
     val dir = log.newDataDir()
     val stamped = batch.withColumn("_batch", lit(batchId))
     log.requireLegacyCompatible(spark, stamped.schema.json)
@@ -46,10 +53,14 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
       .parquet(dir.getPath)
     // declaring the written schema pins reads to it (TxLog schema
     // evolution): a store whose batches GAIN a column reads the old
-    // batches with that column null, instead of whichever footer wins
+    // batches with that column null, instead of whichever footer wins.
+    // widenSchema: a batch NARROWER than the table must not hide the
+    // table's other columns (its rows read them as null) — dropping a
+    // column is a deliberate DDL (txLog.alterDropColumn), never the
+    // side effect of one narrow batch
     log.commitAppend(Seq(TxEntry(log.relativize(dir), batchId)),
       replaceBatch = Some(batchId), op = "upsert",
-      schemaJson = Some(stamped.schema.json)): Unit
+      schemaJson = Some(stamped.schema.json), widenSchema = true): Unit
   }
 
   /** Snapshot read with a read-time `_seq` column = the entry's index

@@ -171,7 +171,8 @@ final class TxLog(val root: String) {
   def commitAppend(newEntries: Seq[TxEntry],
                    replaceBatch: Option[Long] = None,
                    op: String = "append",
-                   schemaJson: Option[String] = None): Long = {
+                   schemaJson: Option[String] = None,
+                   widenSchema: Boolean = false): Long = {
     newEntries.foreach(e => requireSafePath(e.path))
     @tailrec def loop(): Long = {
       val cur = snapshot()
@@ -182,9 +183,14 @@ final class TxLog(val root: String) {
       // schema evolution: a commit that declares a schema becomes the
       // table schema (add/drop columns only — type changes fail, see
       // TxLog.evolve); a commit without one carries the current
-      // schema forward, so raw-entry commits never erase evolution
+      // schema forward, so raw-entry commits never erase evolution.
+      // widenSchema = the declared schema can only ADD columns: the
+      // union with the current schema is computed here, inside the CAS
+      // loop, so a batch narrower than the table never drops columns
+      // and two concurrent widening writers never clobber each other's
+      // additions.
       val (next, lineage) =
-        TxLog.evolve(cur.schemaJson, cur.colLineage, schemaJson)
+        TxLog.evolve(cur.schemaJson, cur.colLineage, schemaJson, widenSchema)
       val v = cur.version + 1
       if (tryPublish(v, render(v, op, kept ++ newEntries, next, lineage))) v
       else loop()
@@ -282,11 +288,7 @@ final class TxLog(val root: String) {
   def history(): Seq[(Long, String, Int)] =
     listManifests().map { case (v, f) =>
       val text = new String(Files.readAllBytes(f.toPath), UTF_8)
-      val snap = parseManifest(text) // same strictness as reads
-      val op = org.json4s.jackson.JsonMethods.parse(text) \ "op" match {
-        case org.json4s.JString(s) => s
-        case _                     => "unknown"
-      }
+      val (snap, op) = parseManifestWithOp(text) // same strictness as reads
       (v, op, snap.entries.size)
     }.toSeq
 
@@ -339,10 +341,12 @@ final class TxLog(val root: String) {
     */
   def alterDropColumn(name: String): Long =
     alter("alter-drop") { curSchema =>
-      require(curSchema.fieldNames.contains(name), s"no column '$name'")
+      // case-insensitive like add/resolution: 'Count' drops 'count'
+      require(curSchema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"no column '$name'")
       require(curSchema.fields.length > 1, "cannot drop the last column")
       org.apache.spark.sql.types.StructType(
-        curSchema.fields.filterNot(_.name == name))
+        curSchema.fields.filterNot(_.name.equalsIgnoreCase(name)))
     }
 
   /** DDL commit loop: the new schema is derived from the snapshot it
@@ -867,7 +871,11 @@ final class TxLog(val root: String) {
     s"""{"version":$version,"op":"$op"$sch$cols,"entries":[$es]}"""
   }
 
-  private def parseManifest(text: String): TxSnapshot = {
+  private def parseManifest(text: String): TxSnapshot =
+    parseManifestWithOp(text)._1
+
+  /** One parse serves both the snapshot and the op tag (history()). */
+  private def parseManifestWithOp(text: String): (TxSnapshot, String) = {
     import org.json4s._
     val j = org.json4s.jackson.JsonMethods.parse(text)
     val version = j \ "version" match {
@@ -936,7 +944,11 @@ final class TxLog(val root: String) {
       }.toMap
       case other => sys.error(s"bad manifest cols: $other")
     }
-    TxSnapshot(version, entries, schemaJson, colLineage)
+    val op = j \ "op" match {
+      case JString(s) => s
+      case _          => "unknown"
+    }
+    (TxSnapshot(version, entries, schemaJson, colLineage), op)
   }
 
   private def deleteRecursively(f: File): Unit =
@@ -978,12 +990,16 @@ object TxLog {
   private[store] def requireEvolvable(oldJson: String, newJson: String): Unit = {
     val oldS = structOf(oldJson)
     val newS = structOf(newJson)
-    val oldByName = oldS.fields.map(f => f.name -> f.dataType).toMap
+    // case-INSENSITIVE matching: Spark resolves parquet columns
+    // case-insensitively by default, so 'Count' and 'count' name the
+    // same physical column — a case-variant type change must fail here
+    // like any other type change, not sneak past as an "add"
+    val oldByName = oldS.fields.groupBy(_.name.toLowerCase)
     newS.fields.foreach { f =>
-      oldByName.get(f.name).foreach { oldT =>
-        require(oldT == f.dataType,
+      oldByName.getOrElse(f.name.toLowerCase, Array.empty).foreach { o =>
+        require(o.dataType == f.dataType,
           s"incompatible schema evolution for column '${f.name}': " +
-            s"${oldT.simpleString} -> ${f.dataType.simpleString} (only " +
+            s"${o.dataType.simpleString} -> ${f.dataType.simpleString} (only " +
             "add/drop of columns is supported; changing a column's type " +
             "means writing a new table)")
       }
@@ -1003,20 +1019,39 @@ object TxLog {
     */
   private[store] def evolve(curSchema: Option[String],
                             curLineage: Map[String, String],
-                            declared: Option[String])
+                            declared: Option[String],
+                            widen: Boolean = false)
       : (Option[String], Map[String, String]) =
     declared match {
       case None => (curSchema, curLineage)
-      case Some(s) =>
-        curSchema.foreach(requireEvolvable(_, s))
+      case Some(s0) =>
+        curSchema.foreach(requireEvolvable(_, s0))
+        // widen-only mode: the committed schema is current ∪ declared
+        // (current's field order and types first, declared-only fields
+        // appended) — a declaration narrower than the table cannot
+        // drop columns (requireEvolvable above already pinned the
+        // common columns' types)
+        val s = (curSchema, widen) match {
+          case (Some(c), true) =>
+            val cs = structOf(c)
+            val have = cs.fieldNames.map(_.toLowerCase).toSet
+            org.apache.spark.sql.types.StructType(cs.fields ++
+              structOf(s0).fields.filterNot(f => have(f.name.toLowerCase))
+            ).json
+          case _ => s0
+        }
         val fields = structOf(s).fields
+        // case-INSENSITIVE like requireEvolvable: a case-variant
+        // re-add ('Count' dropped, 'count' re-added) still targets the
+        // same physical column in old files
         fields.foreach { f =>
-          curLineage.get(f.name).foreach { orig =>
-            require(orig == f.dataType.json,
-              s"column '${f.name}' was previously committed to this table " +
-                s"with a different type ($orig); a dropped column can only " +
-                "be re-added at its original type — old files still carry " +
-                "the original representation")
+          curLineage.foreach { case (n, orig) =>
+            if (n.equalsIgnoreCase(f.name))
+              require(orig == f.dataType.json,
+                s"column '${f.name}' was previously committed to this table " +
+                  s"with a different type ($orig as '$n'); a dropped column " +
+                  "can only be re-added at its original type — old files " +
+                  "still carry the original representation")
           }
         }
         (Some(s), curLineage ++ fields.map(f => f.name -> f.dataType.json))

@@ -431,12 +431,12 @@ class ResumeStreamingAnnSpec extends SparkSpecBase {
     // (or even the fingerprint) ran
     val bogus = Seq(Tuple1("x")).toDF("wrong")
     assert(same(IvfCentroidStore.loadOrTrain(bogus, store, "t1"), fresh))
-    // disk hit across "sessions" (memo wiped): fingerprint-validated
-    // (ids only), still no retraining — an ids-only frame has no
-    // embedding column, so Lloyd would throw if it ran
+    // disk hit across "sessions" (memo wiped): content-fingerprint
+    // validated, no retraining — proof: no nCells passed, so a retrain
+    // would size cells by the √n rule (≈14 for 200 rows) and differ
+    // from the stored 8-cell train
     IvfCentroidStore.clearMemo()
-    val idsOnly = emb.select("id")
-    assert(same(IvfCentroidStore.loadOrTrain(idsOnly, store, "t1"), fresh))
+    assert(same(IvfCentroidStore.loadOrTrain(emb, store, "t1"), fresh))
     // stale-corpus guard: same tag, DIFFERENT corpus ids -> loud failure
     // instead of silently probing stale centroids
     IvfCentroidStore.clearMemo()
@@ -445,6 +445,28 @@ class ResumeStreamingAnnSpec extends SparkSpecBase {
       IvfCentroidStore.loadOrTrain(otherCorpus, store, "t1")
     }
     assert(ex.getMessage.contains("different corpus"))
+    // CONTENT staleness: ids and count unchanged, vectors redrawn ->
+    // still a loud failure (the v1 ids-only fingerprint missed this)
+    IvfCentroidStore.clearMemo()
+    val redrawn = emb.withColumn("embedding",
+      expr("transform(embedding, x -> cast(x + 1.0 as float))"))
+    val ex2 = intercept[IllegalStateException] {
+      IvfCentroidStore.loadOrTrain(redrawn, store, "t1")
+    }
+    assert(ex2.getMessage.contains("different corpus"))
+    // a v1-FORMAT store (ids-only fp, no fp_ver) cannot be validated
+    // by the v2 formula: it must self-heal by retraining, not
+    // false-fail against a corpus it actually matches
+    val v1Log = new graft.store.TxLog(s"$store/tag=v1fmt")
+    val v1Dir = v1Log.newDataDir()
+    Seq((0, Seq(1f, 0f), 200L, 123L), (1, Seq(0f, 1f), 200L, 123L))
+      .toDF("cell", "vec", "fp_n", "fp_hash")
+      .coalesce(1).write.parquet(v1Dir.getPath)
+    v1Log.commitAppend(Seq(graft.store.TxEntry(
+      v1Log.relativize(v1Dir), 0L)), op = "centroids")
+    IvfCentroidStore.clearMemo()
+    assert(same(IvfCentroidStore.loadOrTrain(emb, store, "v1fmt", nCells = 8),
+      fresh), "v1-format store must retrain to fresh centroids")
     // legacy pre-fingerprint store (cell/vec only): unvalidatable ->
     // self-heals by retraining + replace commit, not an unresolved-
     // column error
@@ -458,9 +480,9 @@ class ResumeStreamingAnnSpec extends SparkSpecBase {
     val healed = IvfCentroidStore.loadOrTrain(emb, store, "legacy", nCells = 8)
     assert(same(healed, fresh), "legacy store must retrain to fresh centroids")
     // and the store is now upgraded: a second cold load validates
+    // (proof of no-retrain: default nCells would give ≈14 cells ≠ 8)
     IvfCentroidStore.clearMemo()
-    assert(same(IvfCentroidStore.loadOrTrain(emb.select("id"), store, "legacy"),
-      fresh))
+    assert(same(IvfCentroidStore.loadOrTrain(emb, store, "legacy"), fresh))
     // end-to-end: cached query == fresh-quantizer query, bit for bit
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet

@@ -703,6 +703,43 @@ class TxLogSpec extends SparkSpecBase {
     assert(w.read().where(col("score").isNull).count() == 1)
   }
 
+  test("schema evolution guards are case-insensitive; upsert widens but never narrows; reserved read columns rejected") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    // Spark resolves parquet columns case-insensitively, so a
+    // case-variant re-add at a new type is a TYPE CHANGE and must fail
+    // at commit, not at some later pinned scan
+    val log = new TxLog(tmp("txlog-case"))
+    log.writeAppend(Seq((1L, 2L)).toDF("id", "Count"))
+    log.alterDropColumn("Count")
+    intercept[IllegalArgumentException] {
+      log.alterAddColumn("count", StringType)
+    }
+    log.alterAddColumn("count", LongType): Unit // original type: fine
+    intercept[IllegalArgumentException] { // writer-declared case-variant
+      log.writeAppend(Seq((2L, "s")).toDF("id", "COUNT"))
+    }
+
+    // a batch NARROWER than the table must not hide the table's other
+    // columns (dropping is a deliberate DDL, never a batch side effect)
+    val w = new MergeWriter(spark, tmp("txlog-widen"), Seq("k"))
+    w.upsert(Seq(("a", 1, 0.5), ("b", 2, 0.6)).toDF("k", "v", "score"),
+      batchId = 1)
+    w.upsert(Seq(("b", 3)).toDF("k", "v"), batchId = 2) // narrow batch
+    val df = w.read()
+    assert(df.columns.toSeq == Seq("k", "v", "score"))
+    // row-level MERGE semantics: the narrow batch's winning row carries
+    // null for the column it did not provide; untouched keys keep theirs
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), Option(r.get(2)))).toSet
+    assert(got == Set(("a", 1, Some(0.5)), ("b", 3, None)))
+    // read-time reserved names would be silently overwritten + dropped
+    intercept[IllegalArgumentException] {
+      w.upsert(Seq(("c", 1)).toDF("k", "_seq"), batchId = 3)
+    }
+  }
+
   test("Bloom point-skip: high-cardinality keys prune to the right directory where min/max cannot") {
     val spark2 = spark
     import spark2.implicits._
