@@ -231,21 +231,33 @@ final class TxLog(val root: String) {
     }
   }
 
-  /** Expire history: keep the last `keepVersions` manifests, delete
-    * older ones, and delete data directories no kept manifest references
-    * — but only those whose last-modified time is older than
-    * `orphanGraceMs` (an in-flight writer's staged-but-uncommitted
-    * directory must survive until its commit). With `keepVersions = 1`
-    * this reclaims everything superseded by the latest commit;
-    * production retention raises it so long-running snapshot readers
-    * stay valid.
+  /** Expire history: keep the last `keepVersions` manifests PLUS every
+    * manifest younger than `retainMs` (the Iceberg
+    * `expire_snapshots(older_than, retain_last)` pair — count-only
+    * retention at a high commit cadence could expire a snapshot a
+    * long-running reader is still holding, so age is the second,
+    * independent guard), delete older ones, and delete data directories
+    * no kept manifest references — but only those whose last-modified
+    * time is older than `orphanGraceMs` (an in-flight writer's
+    * staged-but-uncommitted directory must survive until its commit).
+    * With the defaults this reclaims everything superseded by the
+    * latest commit; production retention raises both knobs.
     */
-  def vacuum(keepVersions: Int = 1, orphanGraceMs: Long = 600000L): Unit = {
+  def vacuum(keepVersions: Int = 1, orphanGraceMs: Long = 600000L,
+             retainMs: Long = 0L): Unit = {
     require(keepVersions >= 1, "must keep at least the current version")
     val manifests = listManifests()
     if (manifests.isEmpty) return
-    val (dropM, keepM) =
-      manifests.splitAt(math.max(0, manifests.length - keepVersions))
+    val ageKeepIdx =
+      if (retainMs <= 0L) manifests.length // age guard off: count-only
+      else {
+        val ageCut = System.currentTimeMillis() - retainMs
+        manifests.indexWhere { case (_, f) => f.lastModified() >= ageCut }
+          match { case -1 => manifests.length; case i => i }
+      }
+    val splitIdx =
+      math.min(math.max(0, manifests.length - keepVersions), ageKeepIdx)
+    val (dropM, keepM) = manifests.splitAt(splitIdx)
     val referenced: Set[String] = keepM.flatMap { case (_, f) =>
       parseManifest(new String(Files.readAllBytes(f.toPath), UTF_8))
         .entries.map(_.path)

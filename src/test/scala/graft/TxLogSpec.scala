@@ -703,6 +703,33 @@ class TxLogSpec extends SparkSpecBase {
     assert(w.read().where(col("score").isNull).count() == 1)
   }
 
+  test("vacuum age-based retention: young manifests survive count-only expiry; retainMs=0 is count-only") {
+    val spark2 = spark
+    import spark2.implicits._
+    val log = new TxLog(tmp("txlog-retain"))
+    (1 to 3).foreach(i => log.writeAppend(Seq((i, s"v$i")).toDF("id", "v")): Unit)
+    assert(log.history().size == 3)
+    // all three manifests are seconds old: a 1h age guard keeps every
+    // one of them even though keepVersions=1 would drop two
+    log.vacuum(keepVersions = 1, orphanGraceMs = 0L, retainMs = 3600000L)
+    assert(log.history().size == 3, "age guard must override count expiry")
+    assert(log.readSnapshot(spark, log.snapshotAt(0)).count() == 1) // still readable
+    // age the first two manifests artificially past the cut
+    log.history() // (manifest files are _log/v%012d.json)
+    (0 to 1).foreach { v =>
+      val f = new File(new File(log.root, "_log"), f"v$v%012d.json")
+      assert(f.setLastModified(System.currentTimeMillis() - 7200000L))
+    }
+    log.vacuum(keepVersions = 1, orphanGraceMs = 0L, retainMs = 3600000L)
+    assert(log.history().map(_._1) == Seq(2L), "aged manifests expire")
+    assert(log.read(spark).get.count() == 3)
+    // retainMs = 0 behaves exactly as before (count-only)
+    val log2 = new TxLog(tmp("txlog-retain0"))
+    (1 to 3).foreach(i => log2.writeAppend(Seq((i, s"v$i")).toDF("id", "v")): Unit)
+    log2.vacuum(keepVersions = 1, orphanGraceMs = 0L)
+    assert(log2.history().map(_._1) == Seq(2L))
+  }
+
   test("schema evolution guards are case-insensitive; upsert widens but never narrows; reserved read columns rejected") {
     val spark2 = spark
     import spark2.implicits._
