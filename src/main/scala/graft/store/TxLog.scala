@@ -1193,11 +1193,40 @@ object TxLog {
     }
   }
 
-  /** Per-group Bloom build over (group, key) rows: keys STREAM through
-    * mapGroups, each task holding one group's bit array (sized from
-    * `mOf`, the per-group geometry — small, rides the closure). Groups
-    * absent from `mOf` cannot occur by construction (the caller derives
-    * it from the same data's aggregation).
+  /** Typed Bloom aggregator: PARTIAL-aggregatable, so the per-group
+    * build gets a map-side combine — each task folds its rows into
+    * per-group bit arrays locally and the exchange carries those
+    * arrays, never the keys (at ingest scale the key column dwarfs the
+    * filters; this is the same partials-over-rows shape as
+    * [[buildBloomBits]]). The buffer starts empty and is sized lazily
+    * from `mOf` at the first row, because the geometry is per-group
+    * while an Aggregator's zero is global.
+    */
+  private[graft] final class BloomAgg(mOf: Map[String, Int])
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, Option[String]), Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = Array.emptyByteArray
+    def reduce(b: Array[Byte], a: (String, Option[String])): Array[Byte] = {
+      val bits = if (b.length == 0) new Array[Byte](mOf(a._1) / 8) else b
+      a._2.foreach(k =>
+        setBloomBits(bits, bloomPositions(k, bits.length * 8, BloomK)))
+      bits
+    }
+    def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+      if (x.length == 0) y
+      else if (y.length == 0) x
+      else orInto(x, y)
+    def finish(r: Array[Byte]): Array[Byte] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Per-group Bloom build over (group, key) rows via [[BloomAgg]]
+    * (map-side partials; the shuffle moves bit arrays, not keys).
+    * Groups absent from `mOf` cannot occur by construction (the caller
+    * derives it from the same data's aggregation).
     */
   private[store] def buildGroupedBloomBits(
       rows: DataFrame, mOf: Map[String, Int]): Seq[(String, Array[Byte])] = {
@@ -1205,13 +1234,8 @@ object TxLog {
     import spark.implicits._
     rows.toDF("__g", "__k").as[(String, Option[String])]
       .groupByKey(_._1)
-      .mapGroups { (g, it) =>
-        val m = mOf(g)
-        val bits = new Array[Byte](m / 8)
-        it.foreach(_._2.foreach(k =>
-          setBloomBits(bits, bloomPositions(k, m, BloomK))))
-        (g, bits)
-      }.collect().toSeq
+      .agg(new BloomAgg(mOf).toColumn)
+      .collect().toSeq
   }
 
   // --- column-stats encoding (see ColStats) -------------------------------

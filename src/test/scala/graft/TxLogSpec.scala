@@ -843,6 +843,15 @@ class TxLogSpec extends SparkSpecBase {
       log.writePartitionedAppend(ids.toDF("id"),
         concat(lit("b"), pmod(col("id"), lit(2)).cast("string")),
         statsCols = Nil, bloomCols = Seq("id")): Unit
+    // the grouped bloom build must PARTIAL-aggregate (map-side combine:
+    // the exchange carries bit arrays, never the key column)
+    locally {
+      val probe = Seq(("a", Option("k1")), ("b", Option("k2")))
+        .toDS().groupByKey(_._1)
+        .agg(new TxLog.BloomAgg(Map("a" -> 8192, "b" -> 8192)).toColumn)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("partial_"), s"no map-side partial in:\n$plan")
+    }
     // two same-sized writes: uniform bloom geometry per partition
     write(0L until 100L)
     write(1000L until 1100L)
