@@ -42,13 +42,12 @@ final class CheckpointStore(spark: SparkSession, path: String) {
   def record(stage: String, configTag: String,
              bucketRows: Seq[(Int, Long)], wallMs: Long): Unit = {
     val ts = System.currentTimeMillis()
-    val dir = log.newDataDir()
-    spark.createDataset(bucketRows.map { case (b, n) =>
+    // writeAppend = the same stage-then-commit this used to spell out,
+    // plus the manifest schema declaration every TxLog table gets
+    log.writeAppend(spark.createDataset(bucketRows.map { case (b, n) =>
       (stage, b, configTag, n, wallMs, ts)
     }).toDF("stage", "bucket", "config_tag", "rows", "wall_ms", "ts")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(dir.getPath)
-    log.commitAppend(Seq(graft.store.TxEntry(log.relativize(dir), -1L))): Unit
+      .coalesce(1)): Unit
   }
 
   /** Stage-level metrics view (lineage: per-bucket rows + timings). */
@@ -76,9 +75,16 @@ object ResumableDedupJob {
                       buckets: Int = 16): DataFrame = {
     val spark = docs.sparkSession
     val store = new CheckpointStore(spark, workDir)
-    val done = store.completedBuckets("signatures", cfg.configTag)
+    // the bucket COUNT is part of the checkpoint identity: a resume
+    // with a different `buckets` must recompute from scratch — pmod-16
+    // checkpoints say nothing about pmod-32 buckets, and mixing moduli
+    // in one signatures table would duplicate every doc whose old
+    // partition also survives (the stage tag also names the table
+    // path, so differently-bucketed tables never share files)
+    val stageTag = s"${cfg.configTag}-b$buckets"
+    val done = store.completedBuckets("signatures", stageTag)
     val missing = (0 until buckets).filterNot(done.contains)
-    val sigDir = s"$workDir/signatures/tag=${cfg.configTag}"
+    val sigDir = s"$workDir/signatures/tag=$stageTag"
     if (missing.nonEmpty) {
       val t0 = System.currentTimeMillis()
       val withBucket = docs
@@ -100,11 +106,10 @@ object ResumableDedupJob {
       val counts = spark.read.parquet(sigDir)
         .where(col("bucket").isin(missing: _*))
         .groupBy("bucket").count()
-        .collect().map(r => (r.getInt(0), r.getLong(1)))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
       // buckets that produced zero rows still count as completed
-      val all = missing.map(b =>
-        (b, counts.toMap.getOrElse(b, 0L))).toSeq
-      store.record("signatures", cfg.configTag, all,
+      val all = missing.map(b => (b, counts.getOrElse(b, 0L))).toSeq
+      store.record("signatures", stageTag, all,
         System.currentTimeMillis() - t0)
     }
     docs.sparkSession.read.parquet(sigDir)

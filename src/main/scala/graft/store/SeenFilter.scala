@@ -45,6 +45,17 @@ object SeenFilter {
     */
   def notSeen(fresh: DataFrame, key: Column, bloom: BloomFilter,
               store: DataFrame, storeKey: Column): DataFrame = {
+    // synthesized below; a same-named input column would be silently
+    // overwritten (withColumn resolves case-insensitively) or make the
+    // join condition ambiguous — fail loudly instead
+    Seq("_maybe_seen", "_seen_key").foreach { r =>
+      require(!fresh.columns.exists(_.equalsIgnoreCase(r)),
+        s"column name '$r' is reserved by SeenFilter.notSeen; rename it")
+    }
+    // NULL keys have no identity: they pass as unseen here AND can
+    // never match a store key later, so retry idempotency for them is
+    // impossible — callers needing it must reject nulls upstream
+    // (IncrementalIngest.processBatch does)
     val spark = fresh.sparkSession
     val bcast = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => s != null && bcast.value.mightContainString(s))

@@ -113,10 +113,23 @@ object IncrementalIngest {
                    workDir: String, matchEvery: Int = 1, compactEvery: Int = 0,
                    bloomRebuildEvery: Int = 8,
                    state: IngestState = new IngestState): Unit = {
+    require(matchEvery >= 1, s"matchEvery must be >= 1, got $matchEvery")
     val spark = batch.sparkSession
     val sl = sigLog(workDir, cfg)
     val bl = bandLog(workDir, cfg)
-    val newSigs = Dedup.signatures(Dedup.shingleSets(batch, cfg), cfg)
+    // identity hygiene BEFORE anything is written: a crawl revisit can
+    // repeat an id WITHIN one micro-batch — the seen filter and store
+    // anti-joins compare only against the STORE, so intra-batch
+    // duplicates would land twice and duplicate every downstream pair.
+    // One deterministic winner per id (lowest text hash); null ids
+    // have no dedup identity at all and are dropped here, loudly
+    // documented, because a null key can never join/match later.
+    val uniqueBatch = batch.where(col("id").isNotNull)
+      .withColumn("__ingest_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(xxhash64(col("text")).asc_nulls_last)))
+      .where(col("__ingest_rn") === 1).drop("__ingest_rn")
+    val newSigs = Dedup.signatures(Dedup.shingleSets(uniqueBatch, cfg), cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // (1) seen-filtered idempotent signature flush
@@ -167,9 +180,21 @@ object IncrementalIngest {
       // state can be fast-forwarded across the rewrite
       if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
         matchPending(spark, workDir, cfg)
-        compactStores(spark, workDir, cfg)
-        writeMatchedPaths(workDir, cfg,
-          sigLog(workDir, cfg).snapshot().entries.map(_.path).toSet)
+        val sigRewrite = compactStores(spark, workDir, cfg)
+        // fast-forward the match state across the rewrite — but ONLY
+        // the compacted paths, and only when every compacted SOURCE
+        // path was actually matched: an entry appended by a concurrent
+        // out-of-band writer between matchPending and the compaction
+        // snapshot gets folded into the rewrite UNMATCHED, and marking
+        // a fresh snapshot wholesale would silently exclude its ids
+        // from every future match run. When the guard fails we keep
+        // the old marker; the next matchPending re-matches the
+        // compacted entry and the pair-store anti-join keeps it exact.
+        sigRewrite.foreach { case (src, dst) =>
+          val matched = readMatchedPaths(workDir, cfg)
+          if (src.subsetOf(matched))
+            writeMatchedPaths(workDir, cfg, (matched -- src) ++ dst)
+        }
         state.bloom = null // compaction rewrote the paths → rebuild next batch
         state.bloomPaths = Set.empty
       }
@@ -213,11 +238,11 @@ object IncrementalIngest {
     * replace commit would swap the first attempt's rows for that empty
     * set and lose data. Content dedup alone makes the retry exact.
     */
-  private def writeCommit(log: TxLog, df: DataFrame, batchId: Long): Unit = {
-    val dir = log.newDataDir()
-    df.write.mode(SaveMode.Overwrite).parquet(dir.getPath)
-    log.commitAppend(Seq(TxEntry(log.relativize(dir), batchId))): Unit
-  }
+  private def writeCommit(log: TxLog, df: DataFrame, batchId: Long): Unit =
+    // writeAppend = the same stage-then-commit this used to spell out,
+    // plus the manifest schema declaration every TxLog table gets
+    // (pinned reads instead of footer-resolution drift)
+    log.writeAppend(df, batchId): Unit
 
   // --- match-state marker (which store paths a match run has covered) ---
 
@@ -280,23 +305,32 @@ object IncrementalIngest {
     * tests / known-quiescent maintenance windows.
     */
   def compactStores(spark: SparkSession, workDir: String, cfg: DedupConfig,
-                    vacuumGraceMs: Long = 600000L): Unit = {
+                    vacuumGraceMs: Long = 600000L)
+      : Option[(Set[String], Set[String])] = {
     val targetParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    Seq(sigLog(workDir, cfg), bandLog(workDir, cfg), pairLog(workDir, cfg))
-      .foreach { log =>
+    var sigRewrite: Option[(Set[String], Set[String])] = None
+    Seq((sigLog(workDir, cfg), true), (bandLog(workDir, cfg), false),
+      (pairLog(workDir, cfg), false))
+      .foreach { case (log, isSig) =>
         val snap = log.snapshot()
         if (snap.entries.size > 1) {
           val maxBatch = snap.entries.map(_.batch).max
           val dir = log.newDataDir()
           log.readSnapshot(spark, snap).coalesce(targetParts)
             .write.mode(SaveMode.Overwrite).parquet(dir.getPath)
-          if (log.commitReplace(Seq(TxEntry(log.relativize(dir), maxBatch)),
-              snap.version))
+          val entry = TxEntry(log.relativize(dir), maxBatch)
+          if (log.commitReplace(Seq(entry), snap.version)) {
             log.vacuum(keepVersions = 1, orphanGraceMs = vacuumGraceMs)
-          else
+            if (isSig)
+              sigRewrite =
+                Some((snap.entries.map(_.path).toSet, Set(entry.path)))
+          } else
             TxLog.deleteRecursively(dir)
         }
       }
+    // (source paths, replacement paths) of the SIGNATURE store rewrite
+    // when it committed — processBatch's match-state fast-forward input
+    sigRewrite
   }
 
   def bands(spark: SparkSession, workDir: String, cfg: DedupConfig): DataFrame =

@@ -35,7 +35,7 @@ class ResumeStreamingAnnSpec extends SparkSpecBase {
     ResumableDedupJob.signaturesStage(
       withBucket.where(col("b") < 4).drop("b"), cfg, resumeDir, buckets)
     val store = new CheckpointStore(spark, resumeDir)
-    val doneAfterKill = store.completedBuckets("signatures", cfg.configTag)
+    val doneAfterKill = store.completedBuckets("signatures", s"${cfg.configTag}-b$buckets")
     assert(doneAfterKill == (0 until buckets).toSet,
       "subset run records all buckets it attempted")
     // drop checkpoint rows for buckets >= 4 to model a crash mid-stage:
@@ -44,23 +44,23 @@ class ResumeStreamingAnnSpec extends SparkSpecBase {
     val rows = kept.collect()
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(s"$resumeDir/checkpoints"))
-    store.record("signatures", cfg.configTag,
+    store.record("signatures", s"${cfg.configTag}-b$buckets",
       rows.map(r => (r.getInt(1), r.getLong(3))).toSeq, 0L)
     // ALSO remove the parquet rows of un-checkpointed buckets (a crash
     // before commit leaves nothing durable for them)
-    val sigDir = s"$resumeDir/signatures/tag=${cfg.configTag}"
+    val sigDir = s"$resumeDir/signatures/tag=${cfg.configTag}-b$buckets"
     (4 until buckets).foreach { b =>
       val d = new java.io.File(s"$sigDir/bucket=$b")
       if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
     }
 
     // resume: full input; must recompute exactly buckets 4..7
-    val before = store.completedBuckets("signatures", cfg.configTag)
+    val before = store.completedBuckets("signatures", s"${cfg.configTag}-b$buckets")
     assert(before == Set(0, 1, 2, 3))
     val resumed = ResumableDedupJob.run(docs, cfg, resumeDir, buckets)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(resumed == clean)
-    val after = store.completedBuckets("signatures", cfg.configTag)
+    val after = store.completedBuckets("signatures", s"${cfg.configTag}-b$buckets")
     assert(after == (0 until buckets).toSet)
   }
 
@@ -70,14 +70,67 @@ class ResumeStreamingAnnSpec extends SparkSpecBase {
     val dir = tmpDir("graft-tag")
     ResumableDedupJob.signaturesStage(docs, cfg, dir, buckets = 4)
     val store = new CheckpointStore(spark, dir)
-    assert(store.completedBuckets("signatures", cfg.configTag).size == 4)
+    assert(store.completedBuckets("signatures", s"${cfg.configTag}-b4").size == 4)
     val cfg2 = cfg.copy(shingleK = 4)
-    assert(store.completedBuckets("signatures", cfg2.configTag).isEmpty)
+    assert(store.completedBuckets("signatures", s"${cfg2.configTag}-b4").isEmpty)
     ResumableDedupJob.signaturesStage(docs, cfg2, dir, buckets = 4)
-    assert(store.completedBuckets("signatures", cfg2.configTag).size == 4)
+    assert(store.completedBuckets("signatures", s"${cfg2.configTag}-b4").size == 4)
     // both signature tables coexist, partitioned by tag
-    assert(spark.read.parquet(s"$dir/signatures/tag=${cfg.configTag}").count() > 0)
-    assert(spark.read.parquet(s"$dir/signatures/tag=${cfg2.configTag}").count() > 0)
+    assert(spark.read.parquet(s"$dir/signatures/tag=${cfg.configTag}-b4").count() > 0)
+    assert(spark.read.parquet(s"$dir/signatures/tag=${cfg2.configTag}-b4").count() > 0)
+  }
+
+  test("bucket-count change is a checkpoint-identity change: resume recomputes, no duplicate signatures") {
+    val docs = Dedup.fromDocuments(
+      spark.read.parquet(s"$sfDir/documents.parquet")).limit(60)
+    val dir = tmpDir("graft-buckets")
+    val n = docs.count()
+    val s4 = ResumableDedupJob.signaturesStage(docs, cfg, dir, buckets = 4)
+    assert(s4.count() == n)
+    // same workDir, different bucket count: pmod-4 checkpoints say
+    // nothing about pmod-8 buckets — the run must land in a FRESH
+    // bucket-count-qualified table with exactly one row per doc, not
+    // mix moduli inside one table (which would duplicate every doc
+    // whose old partition also survives)
+    val s8 = ResumableDedupJob.signaturesStage(docs, cfg, dir, buckets = 8)
+    assert(s8.count() == n, "mixed-moduli resume must not duplicate signatures")
+    assert(s8.select("id").distinct().count() == n)
+  }
+
+  test("intra-batch duplicate/null ids are hygienized before any store write; matchEvery guard") {
+    val spark2 = spark
+    import spark2.implicits._
+    val workDir = tmpDir("graft-batchdup")
+    val batch = Seq(
+      ("u1", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("u1", "alpha beta gamma delta epsilon zeta eta theta"), // exact revisit
+      ("u2", "one two three four five six seven eight nine ten"),
+      (null.asInstanceOf[String], "a null id has no dedup identity at all")
+    ).toDF("id", "text")
+    val state = new IncrementalIngest.IngestState
+    IncrementalIngest.processBatch(batch, 0L, cfg, workDir, state = state)
+    val sigs = IncrementalIngest.signatures(spark, workDir, cfg)
+    assert(sigs.where(col("id").isNull).count() == 0, "null ids must not land")
+    assert(sigs.count() == 2, "intra-batch revisit must keep one row")
+    // a differing-text revisit within one batch keeps ONE deterministic
+    // winner (lowest text hash)
+    val batch2 = Seq(
+      ("u3", "aa bb cc dd ee ff gg hh ii jj"),
+      ("u3", "aa bb cc dd ee ff gg hh ii kk")).toDF("id", "text")
+    IncrementalIngest.processBatch(batch2, 1L, cfg, workDir, state = state)
+    assert(IncrementalIngest.signatures(spark, workDir, cfg)
+      .where(col("id") === "u3").count() == 1)
+    intercept[IllegalArgumentException] { // fails fast, before any write
+      IncrementalIngest.processBatch(batch2, 2L, cfg, workDir, matchEvery = 0)
+    }
+    // SeenFilter reserved read-time columns fail loudly
+    val store = Seq(("u1", 1)).toDF("id", "v")
+    val bloom = graft.store.SeenFilter.build(store, col("id"), 16L)
+    intercept[IllegalArgumentException] {
+      graft.store.SeenFilter.notSeen(
+        Seq(("a", "b")).toDF("id", "_seen_key"), col("id"), bloom,
+        store, col("id"))
+    }
   }
 
   test("streaming incremental ingest converges to the batch pipeline's pair set") {

@@ -63,7 +63,7 @@ class Round2Spec extends SparkSpecBase {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == expected)
     // identical pair set out of the skew-aware pairs stage
-    val sigs = spark.read.parquet(s"$workDir/signatures/tag=${cfg.configTag}")
+    val sigs = spark.read.parquet(s"$workDir/signatures/tag=${cfg.configTag}-b4")
     val stage = ResumableDedupJob.pairsStage(sigs, cfg, hotCap = 8, saltBuckets = 4)
     val plainPairs = Dedup.pairs(docs, cfg)
       .select("id_a", "id_b").collect()
