@@ -973,8 +973,8 @@ object SparkEntry {
          |  FROM documents),
          |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(url, '#.*$', ''),
          |       '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS x FROM u),
-         |s2 AS (SELECT doc_id, lower(regexp_extract(x, '^[^/]*')) ||
-         |       regexp_replace(x, '^[^/]*', '') AS x FROM s1),
+         |s2 AS (SELECT doc_id, lower(regexp_extract(x, '^[^/?#]*')) ||
+         |       regexp_replace(x, '^[^/?#]*', '') AS x FROM s1),
          |s3 AS (SELECT doc_id, regexp_replace(regexp_replace(x, '^www\.', ''),
          |       '/+$', '') AS canonical_url FROM s2)
          |SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS keeper_id
@@ -1059,7 +1059,8 @@ object SparkEntry {
         "WHEN doc_id % 3 = 1 THEN '.TXT' ELSE '' END) AS url " +
         "FROM documents WHERE doc_id % 2 = 0) " +
         "SELECT url, lang FROM pages " +
-        "WHERE (lower(url) LIKE '%.html' OR lower(url) LIKE '%.txt') " +
+        "WHERE (regexp_replace(lower(url), '[?#].*$', '') LIKE '%.html' " +
+        "OR regexp_replace(lower(url), '[?#].*$', '') LIKE '%.txt') " +
         "AND url NOT IN (SELECT url FROM meta) " +
         "ORDER BY lang DESC, url ASC LIMIT 50 OFFSET 5"),
     "q_argmax" ->

@@ -67,26 +67,37 @@ object PageMetadata {
     * `spark.sql.session.timeZone`, so external consumers without the
     * entrypoints' UTC pin still get the correct instant.
     */
-  def publishedTs(htmlBytes: Column): Column = {
-    val raw = coalesce(
-      extractOrNull(html(htmlBytes),
-        """(?is)<meta\s+property=["']article:published_time["']\s+content=["']([^"']*)["']"""),
-      extractOrNull(html(htmlBytes),
-        """(?is)<meta\s+name=["']date["']\s+content=["']([^"']*)["']"""))
-    try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ssXXX"))
-  }
+  def publishedTs(htmlBytes: Column): Column =
+    parseIsoInstant(coalesce(
+      metaProperty(htmlBytes, "article:published_time"),
+      metaContent(htmlBytes, "date")))
+
+  /** Offset-aware ISO-8601 parse tolerant of the three dominant
+    * real-world shapes: seconds+offset (`…T08:30:00Z`), fractional
+    * millis+offset (`…T08:30:00.000Z` — very common for OpenGraph
+    * timestamps), and a bare date (`2024-03-01`, the usual form of the
+    * `date` meta fallback — taken as UTC midnight, the only
+    * deterministic reading). The offset is always PARSED (`XXX`
+    * accepts `Z`), never a literal, so the UTC contract holds
+    * regardless of `spark.sql.session.timeZone`. Anything else → null,
+    * like a garbled EXIF date.
+    */
+  private def parseIsoInstant(raw: Column): Column =
+    coalesce(
+      try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+      try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+      try_to_timestamp(concat(raw, lit("T00:00:00+00:00")),
+        lit("yyyy-MM-dd'T'HH:mm:ssXXX")))
 
   /** Last-modification timestamp (`General_File_Modified_Date` analog,
     * `db/schema.py:121`): `article:modified_time` OpenGraph property or
     * a `last-modified` meta, parsed with the same offset-aware UTC
     * contract as [[publishedTs]].
     */
-  def modifiedTs(htmlBytes: Column): Column = {
-    val raw = coalesce(
+  def modifiedTs(htmlBytes: Column): Column =
+    parseIsoInstant(coalesce(
       metaProperty(htmlBytes, "article:modified_time"),
-      metaContent(htmlBytes, "last-modified"))
-    try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ssXXX"))
-  }
+      metaContent(htmlBytes, "last-modified")))
 
   /** `<!DOCTYPE xxx>` root keyword (`General_Format_Commercial` analog —
     * the container format name).

@@ -27,9 +27,12 @@ object TextFunctions {
     val noScript = regexp_replace(noComment, "(?is)<script\\b[^>]*>.*?</script>", " ")
     val noStyle  = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
     val noTags   = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    // standard entity-decode order: '&amp;' LAST, or a doubly-escaped
+    // entity ("&amp;lt;", which renders as "&lt;") would decode twice
+    // into text the page never displayed
     val ent = Seq(
-      "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
-      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'"
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&"
     ).foldLeft(noTags) { case (c, (from, to)) =>
       regexp_replace(c, java.util.regex.Pattern.quote(from), to)
     }
@@ -73,10 +76,13 @@ object TextFunctions {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
 
-  /** BPE-ish subword count: alphanumeric runs + individual punctuation. */
+  /** BPE-ish subword count: alphanumeric runs + individual punctuation.
+    * ALL whitespace splits are dropped, not just the literal space —
+    * newlines/tabs are separators, never tokens.
+    */
   def bpeishTokenCount(text: Column): Column =
     size(filter(split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
-      t => length(t) > 0 && t =!= " "))
+      t => length(t) > 0 && !t.rlike("^\\s+$")))
 
   private val stopwords =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
@@ -144,12 +150,20 @@ object TextFunctions {
 
   /** Path relative to `base` (reference relative-path resolver): strips
     * the base prefix plus any leading slashes; inputs outside `base`
-    * pass through unchanged.
+    * pass through unchanged. The base must match at a SEGMENT boundary
+    * — `/data/foobar/x` is outside base `/data/foo`, not "bar/x"
+    * inside it — so the prefix check is against base-with-a-trailing-
+    * slash (plus exact equality → empty relative path).
     */
-  def relativize(path: Column, base: Column): Column =
-    when(path.startsWith(base),
-      regexp_replace(path.substr(length(base) + 1, length(path)), "^/+", ""))
+  def relativize(path: Column, base: Column): Column = {
+    val baseSlash =
+      when(base.endsWith("/"), base).otherwise(concat(base, lit("/")))
+    when(path === base, lit(""))
+      .when(path.startsWith(baseSlash),
+        regexp_replace(
+          path.substr(length(baseSlash) + 1, length(path)), "^/+", ""))
       .otherwise(path)
+  }
 
   /** Canonical URL for dedup grouping — the web-pipeline analog of the
     * reference's path normalization before hashing (`repr_utils.py`):
@@ -164,9 +178,12 @@ object TextFunctions {
   def canonicalUrl(url: Column, stripTracking: Boolean = true): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val noScheme = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    // the authority ends at '/', '?' or '#': on a path-less url with a
+    // query ("example.com?Session=X") the host match must stop at '?',
+    // or the case-sensitive query value would be lowercased
     val lowerHost = concat(
-      lower(regexp_extract(noScheme, "^[^/]*", 0)),
-      regexp_replace(noScheme, "^[^/]*", ""))
+      lower(regexp_extract(noScheme, "^[^/?#]*", 0)),
+      regexp_replace(noScheme, "^[^/?#]*", ""))
     val noWww = regexp_replace(lowerHost, "^www\\.", "")
     val noUtm = if (!stripTracking) noWww else {
       val mid = regexp_replace(noWww, "&utm_[^&#]*", "")

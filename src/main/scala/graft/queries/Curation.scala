@@ -282,8 +282,11 @@ object Curation {
     val pairs = graft.functions.Embeddings
       .srpThresholdPairs(emb, threshold, bits, tables)
     val clusters = graft.pipeline.Dedup.clusters(pairs)
+    // only the id is canonicalized — the frame keeps ALL its columns so
+    // a `quality` expression over any of them (score, length, …) still
+    // resolves; keepList projects what it needs
     graft.pipeline.Dedup.keepList(
-      emb.select(col("id").cast("string").as("id"), col("embedding")),
+      emb.withColumn("id", col("id").cast("string")),
       clusters, quality)
       .select(col("id"), col("cluster_id"), col("quality"), col("kept"))
   }

@@ -88,8 +88,15 @@ object Serving {
                   minSim: Double = 0.0, maxSim: Double = 1.0): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = bothDirections(edges)
-      .where(col("similarity") >= minSim && col("similarity") <= maxSim)
+    // same convention as listByMatchCount: at the no-band default a
+    // null-similarity edge must still connect (null >= 0.0 is null →
+    // an unconditional filter would silently drop it), so the filter
+    // only exists when a band was actually requested
+    val banded =
+      if (minSim <= 0.0 && maxSim >= 1.0) bothDirections(edges)
+      else bothDirections(edges)
+        .where(col("similarity") >= minSim && col("similarity") <= maxSim)
+    val e = banded
       .select(col("src"), col("dst"))
       .localCheckpoint(true)
     var seen = edges.sparkSession.createDataFrame(
@@ -161,10 +168,15 @@ object Serving {
                 limit: Option[Int] = None): DataFrame = {
     var df = pages
     pathContains.foreach(q => df = df.where(lower(col("url")).contains(q.toLowerCase)))
-    if (extensions.nonEmpty)
+    if (extensions.nonEmpty) {
+      // extension of the PATH, not the raw url: "…/doc.pdf?download=1"
+      // is a pdf (same [?#]-tail handling as PageMetadata's url_ext,
+      // so the two surfaces agree on which pages carry an extension)
+      val urlPath = regexp_replace(lower(col("url")), "[?#].*$", "")
       df = df.where(extensions
-        .map(e => lower(col("url")).endsWith(s".${e.toLowerCase}"))
+        .map(e => urlPath.endsWith(s".${e.toLowerCase}"))
         .reduce(_ || _))
+    }
     if (langIn.nonEmpty) df = df.where(col("lang").isin(langIn: _*))
     minTextLen.foreach(n => df = df.where(length(col("text")) >= n))
     hasMeta.foreach { has =>

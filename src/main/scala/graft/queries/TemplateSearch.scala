@@ -67,9 +67,12 @@ object TemplateSearch {
       .withColumn("match_pos", instr(col("d_text"), col("t_text")).cast("long"))
       .withColumn("first_shingle_pos",
         when(size(dw) >= k && col("t_nw") >= k,
-          element_at(filter(dIdx, j =>
+          // try_: with minCoverage <= 0 a zero-overlap pair can reach
+          // here with an EMPTY filter result, and ANSI element_at
+          // throws on index 1 of an empty array — null is the answer
+          try_element_at(filter(dIdx, j =>
             array_contains(col("t_shingles"),
-              concat_ws(" ", slice(dw, j, lit(k))))), 1)
+              concat_ws(" ", slice(dw, j, lit(k))))), lit(1))
             .cast("long")))
       .select(col("template_id"), col("doc_id"), col("coverage"),
         col("contained"), col("match_pos"), col("first_shingle_pos"))

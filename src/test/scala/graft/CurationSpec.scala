@@ -169,7 +169,10 @@ class CurationSpec extends SparkSpecBase {
       ("https://example.com/p?utm_a=1&utm_b=2", "example.com/p"),
       // path case is PRESERVED (only the authority lowercases)
       ("ftp://Host.Net/CaseSensitive/PATH", "host.net/CaseSensitive/PATH"),
-      ("www.plain.org//", "plain.org")
+      ("www.plain.org//", "plain.org"),
+      // path-less url with a query: the authority stops at '?', so the
+      // case-sensitive query value must NOT be lowercased
+      ("http://Example.com?Session=AbC123", "example.com?Session=AbC123")
     )
     val got = cases.map(_._1).toDF("url")
       .select(col("url"),

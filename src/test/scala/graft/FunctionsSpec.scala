@@ -134,7 +134,11 @@ class FunctionsSpec extends SparkSpecBase {
       ("&nbsp;&nbsp;", ""),
       ("<p>   </p>", ""),
       // numeric entity for apostrophe inside a word
-      ("it&#39;s fine", "it's fine"))
+      ("it&#39;s fine", "it's fine"),
+      // doubly-escaped entity: '&amp;lt;' renders as '&lt;' — decoding
+      // '&amp;' LAST must not double-decode it into '<'
+      ("5 &amp;lt; 6", "5 &lt; 6"),
+      ("&amp;amp;", "&amp;"))
     val df = cases.map(_._1.getBytes("UTF-8")).toDF("html")
     val got = df.select(TextFunctions.extractText(col("html"))).as[String].collect()
     got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g == w) }
@@ -155,6 +159,13 @@ class FunctionsSpec extends SparkSpecBase {
     assert(q(0) > q(3)) // real sentence beats gibberish
     val t = df.select(TextFunctions.tokenCount(col("text"))).as[Int].collect()
     assert(t(0) == 13 && t(3) == 2)
+    // bpeish: alphanumeric runs + punctuation; ALL whitespace is a
+    // separator (newlines/tabs must not count as tokens)
+    val b = Seq("a\nb", "don't stop", "x,y z").toDF("text")
+      .select(TextFunctions.bpeishTokenCount(col("text"))).as[Int].collect()
+    assert(b(0) == 2, s"newline counted as a token: ${b(0)}")
+    assert(b(1) == 4) // don ' t stop
+    assert(b(2) == 4) // x , y z
   }
 
   test("cosine kernel: unit vectors, orthogonal, self-similarity") {

@@ -254,7 +254,11 @@ class Round2Spec extends SparkSpecBase {
       ("https://ex.org/a/b/page.html", "https://ex.org"),
       ("https://ex.org/a/b/", "https://ex.org/a"),
       ("plain", "https://other.org"),
-      ("https://other.org/x", "https://ex.org")
+      ("https://other.org/x", "https://ex.org"),
+      // sibling sharing a raw prefix is OUTSIDE the base (segment
+      // boundary), and an exact match relativizes to ""
+      ("/data/foobar/x", "/data/foo"),
+      ("/data/foo", "/data/foo")
     ).toDF("path", "base")
     val got = df.select(
       TextFunctions.basename(col("path")).as("bn"),
@@ -264,7 +268,9 @@ class Round2Spec extends SparkSpecBase {
       ("page.html", "a/b/page.html"),
       ("b", "b/"),
       ("plain", "plain"),
-      ("x", "https://other.org/x")))
+      ("x", "https://other.org/x"),
+      ("x", "/data/foobar/x"),
+      ("foo", "")))
   }
 
   test("typed HTML metadata extraction: golden page + synthetic corpus invariants") {
@@ -301,6 +307,19 @@ class Round2Spec extends SparkSpecBase {
     val mAbsent = PageMetadata.extract(
       Seq(("u", noDate.getBytes("UTF-8"))).toDF("url", "html")).head
     assert(mAbsent.getAs[java.sql.Timestamp]("published_ts") == null)
+    // the two other dominant real-world shapes parse too: fractional
+    // millis (common OpenGraph form) and a bare date (taken as UTC
+    // midnight — the usual shape of the `date` meta fallback)
+    val millis = golden.replace("2023-04-05T06:07:08Z", "2023-04-05T06:07:08.250Z")
+    assert(PageMetadata.extract(
+      Seq(("u", millis.getBytes("UTF-8"))).toDF("url", "html")).head
+      .getAs[java.sql.Timestamp]("published_ts") ==
+      java.sql.Timestamp.from(java.time.Instant.parse("2023-04-05T06:07:08.250Z")))
+    val dateOnly = golden.replace("2023-04-05T06:07:08Z", "2023-04-05")
+    assert(PageMetadata.extract(
+      Seq(("u", dateOnly.getBytes("UTF-8"))).toDF("url", "html")).head
+      .getAs[java.sql.Timestamp]("published_ts") ==
+      java.sql.Timestamp.from(java.time.Instant.parse("2023-04-05T00:00:00Z")))
     assert(m.getAs[String]("title") == "Hello World")
     assert(m.getAs[String]("charset") == "utf-8")
     assert(m.getAs[String]("lang_attr") == "en")
