@@ -190,6 +190,13 @@ object Embeddings {
         }
       }
     }(Encoders.row(outSchema))
+      // when the two sides OVERLAP in >= 2 ids (e.g. an incremental
+      // retry where the new rows already sit in the store), a pair with
+      // both endpoints in the overlap is scanned from each direction
+      // and would emit twice; the per-row cosine is bit-identical in
+      // both orientations, so a canonical-pair dedup over the sparse
+      // above-threshold output is exact and cheap
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Loud contract check for the collect-shaped baselines, fused into
@@ -259,10 +266,28 @@ object Embeddings {
       // O(queries_in_partition * k), not O(rows)
       val byQ = scala.collection.mutable.HashMap
         .empty[Any, scala.collection.mutable.ArrayBuffer[(Any, Double)]]
+      // neighbor-id order matching the final window's `asc` (same-class
+      // Comparable — the id column is one type); 0 = "cannot order"
+      def cmpId(a: Any, b: Any): Int = a match {
+        case x: java.lang.Comparable[_]
+            if b != null && b.getClass == x.getClass =>
+          x.asInstanceOf[java.lang.Comparable[Any]].compareTo(b)
+        case _ => 0
+      }
+      // compact to EXACTLY k under the final (cosine desc, id asc)
+      // total order — keeping every boundary tie instead would grow the
+      // buffer O(group) on duplicate-heavy data (a 50k-member exact-dup
+      // group has 50k pairwise-identical cosines), degrading to
+      // quadratic sort work and breaking the O(queries*k) memory bound.
+      // Only ids the order genuinely cannot compare stay as ties.
       def compacted(buf: scala.collection.mutable.ArrayBuffer[(Any, Double)]) = {
-        val sorted = buf.sortBy(-_._2)
-        val cut = sorted(k - 1)._2
-        sorted.takeWhile(_._2 >= cut)
+        val sorted = buf.sortWith { (p, q) =>
+          if (p._2 != q._2) p._2 > q._2 else cmpId(p._1, q._1) < 0
+        }
+        val cut = sorted(k - 1)
+        sorted.iterator.zipWithIndex.takeWhile { case (e, i) =>
+          i < k || (e._2 == cut._2 && cmpId(e._1, cut._1) == 0)
+        }.map(_._1).to(scala.collection.mutable.ArrayBuffer)
       }
       it.foreach { r =>
         val buf = byQ.getOrElseUpdate(r.get(0),
@@ -286,11 +311,6 @@ object Embeddings {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
-  /** SRP-LSH approximate top-k: hash embeddings into `tables`
-    * independent sign-bit buckets; candidates = rows sharing any bucket;
-    * exact cosine + window top-k within candidates. Recall grows with
-    * tables and shrinks with bits; property-tested in AnnSpec.
-    */
   /** Train an IVF coarse quantizer: deterministic bounded sample (first
     * `sampleCap` rows by xxhash64(id) order — stable under any
     * partitioning) collected to the driver, Lloyd iterations run
@@ -324,7 +344,7 @@ object Embeddings {
     while (it < iters) {
       val sums = Array.fill(cents.length)(new Array[Double](dim))
       val counts = new Array[Int](cents.length)
-      var worst = (-1, 2.0) // (sample idx of farthest point, its sim)
+      val simOf = new Array[Double](sample.length) // best sim per point
       sample.zipWithIndex.foreach { case (v, si) =>
         var best = 0; var bestSim = -2.0
         var c = 0
@@ -333,13 +353,21 @@ object Embeddings {
           if (s > bestSim) { bestSim = s; best = c }
           c += 1
         }
-        if (bestSim < worst._2) worst = (si, bestSim)
+        simOf(si) = bestSim
         counts(best) += 1
         var d = 0
         while (d < dim) { sums(best)(d) += v(d); d += 1 }
       }
+      // respawn EVERY empty cell to a DISTINCT farthest point (w-th
+      // empty cell takes the w-th farthest): respawning them all to the
+      // one globally-farthest point would leave permanently duplicated
+      // centroids (the duplicates win no points on later iterations and
+      // respawn identically again), silently shrinking the effective
+      // cell count and wasting multi-probe slots
+      val farthest = simOf.indices.sortBy(simOf(_)).iterator
       cents = cents.indices.map { c =>
-        if (counts(c) == 0) sample(worst._1).clone() // respawn empty cell
+        if (counts(c) == 0)
+          sample(if (farthest.hasNext) farthest.next() else 0).clone()
         else Array.tabulate(dim)(d => (sums(c)(d) / counts(c)).toFloat)
       }.toArray
       it += 1
@@ -412,6 +440,11 @@ object Embeddings {
     math.max(4, math.min(sampleCap / 8,
       math.round(math.sqrt(corpusRows.toDouble)).toInt))
 
+  /** SRP-LSH approximate top-k: hash embeddings into `tables`
+    * independent sign-bit buckets; candidates = rows sharing any bucket;
+    * exact cosine + window top-k within candidates. Recall grows with
+    * tables and shrinks with bits; property-tested in AnnSpec.
+    */
   def srpTopK(emb: DataFrame, k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
     val keyed = emb.select(col("id"), col("embedding"),
       explode(array((0 until tables).map(t =>

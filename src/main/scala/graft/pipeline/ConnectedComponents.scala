@@ -34,8 +34,6 @@ object ConnectedComponents {
     */
   def run(edges: DataFrame, maxIterations: Int = 50,
           localThreshold: Long = LocalThreshold): DataFrame = {
-    val spark = edges.sparkSession
-
     // canonical undirected edges as (big, small) with big > small;
     // self-loops dropped
     var e = edges
@@ -111,11 +109,16 @@ object ConnectedComponents {
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", idType, nullable = false),
       org.apache.spark.sql.types.StructField("component", idType, nullable = false)))
-    def lt(a: Any, b: Any): Boolean = (a, b) match {
-      case (x: java.lang.Long, y: java.lang.Long) => x < y
-      case (x: String, y: String) => x < y
-      case (x: java.lang.Integer, y: java.lang.Integer) => x < y
-      case (x, y) => x.toString < y.toString
+    // natural-order compare matching Spark's `least`/`greatest` on the
+    // id type: every orderable Spark id type (numbers, strings,
+    // timestamps, decimals) collects as a same-class java.lang
+    // Comparable, so compareTo IS the Spark ordering — a toString
+    // fallback would label e.g. Double components by string order,
+    // diverging from the distributed path ("10.0" < "2.0")
+    def lt(a: Any, b: Any): Boolean = a match {
+      case x: java.lang.Comparable[_] if b != null && b.getClass == x.getClass =>
+        x.asInstanceOf[java.lang.Comparable[Any]].compareTo(b) < 0
+      case x => String.valueOf(x) < String.valueOf(b)
     }
     e.coalesce(1).mapPartitions { it =>
       val rows = it.toArray

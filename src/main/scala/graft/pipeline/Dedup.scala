@@ -25,6 +25,11 @@ final case class DedupConfig(
     minTokens: Int = 3) {
   require(bands * rowsPerBand <= numHashes,
     "bands*rowsPerBand must fit in the signature")
+  // the degenerate-signature sentinel check (validSignatures) reads the
+  // first three signature slots; below 3 hashes MinHash is meaningless
+  // anyway, so reject the config here rather than throw per-row under
+  // ANSI at band time
+  require(numHashes >= 3, "numHashes must be >= 3")
   // S-curve: P(candidate | jaccard=j) = 1-(1-j^r)^b. At the default
   // (r=3, b=40): j=0.5 -> 0.995, j=0.7 -> 1-1e-7, j=0.9 -> 1-5e-24;
   // noise j=0.05 -> 5e-3 (false-candidate rate per pair). r=3 rejects
@@ -137,11 +142,18 @@ object Dedup {
     * the skew fixture.
     */
   def candidatePairsSkewAware(bands: DataFrame, hotCap: Int = 1024,
-                              saltBuckets: Int = 16): DataFrame = {
-    val hotKeys = bands.groupBy("band_key").count()
+                              saltBuckets: Int = 16,
+                              materialize: Boolean = true): DataFrame = {
+    // the band table feeds THREE consumers (hot-key aggregate, hot
+    // semi-join probe, cold anti-join probe) — materialized once, or
+    // the upstream lineage (parquet scan + minhash slicing + band
+    // hashing) executes three times per run. materialize=false keeps
+    // the fully lazy single plan (plan dumps).
+    val b = if (materialize) bands.localCheckpoint(true) else bands
+    val hotKeys = b.groupBy("band_key").count()
       .where(col("count") > hotCap).select("band_key")
-    val hot = bands.join(broadcast(hotKeys), Seq("band_key"), "left_semi")
-    val cold = bands.join(broadcast(hotKeys), Seq("band_key"), "left_anti")
+    val hot = b.join(broadcast(hotKeys), Seq("band_key"), "left_semi")
+    val cold = b.join(broadcast(hotKeys), Seq("band_key"), "left_anti")
     val coldPairs = {
       val l = cold.select(col("band_key"), col("id").as("id_a"))
       val r = cold.select(col("band_key"), col("id").as("id_b"))

@@ -445,6 +445,35 @@ class ResumeStreamingAnnSpec extends SparkSpecBase {
     assert(ex3.getMessage.contains("srpThresholdPairs"))
   }
 
+  test("tie-heavy exact-dup group: topK stays exact and bounded; overlap threshold join emits each pair once") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 200 bit-identical embeddings: every pairwise cosine ties at 1.0 —
+    // the regime where keeping boundary ties would grow the partial
+    // buffer O(group) instead of O(k)
+    val m = 200
+    val dup = (0 until m).map(i => (f"d$i%03d", Seq(1f, 2f, 3f, 4f)))
+      .toDF("id", "embedding")
+    val got = Embeddings.bruteForceTopK(dup, dup, k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(3)))
+    assert(got.length == m * 3)
+    // the final (cosine desc, neighbor_id asc) order: every query's
+    // neighbors are the 3 smallest OTHER ids
+    val byQ = got.groupBy(_._1)
+    (0 until m).foreach { i =>
+      val q = f"d$i%03d"
+      val want = (0 until m).map(j => f"d$j%03d").filterNot(_ == q).take(3)
+      val ns = byQ(q).sortBy(_._3).map(_._2).toSeq
+      assert(ns == want, s"query $q: $ns != $want")
+    }
+    // overlapping sides (retry shape: new rows already in the store):
+    // a pair with both endpoints in the overlap must emit ONCE
+    val over = Embeddings.broadcastThresholdJoin(dup, dup, 0.99,
+      maxSmall = 1000)
+    assert(over.count() == m.toLong * (m - 1) / 2,
+      "overlap pairs must be canonical-deduped")
+  }
+
   test("multimodal plumbing: schema, determinism, partition-preserving batch execution") {
     val spark2 = spark
     import spark2.implicits._
