@@ -63,14 +63,21 @@ object BinaryPipeline {
     if (u8(0) == 0xff && u8(1) == 0xd8) {
       var i = 2
       while (i + 9 < bytes.length && u8(i) == 0xff) {
-        val marker = u8(i + 1)
-        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
-          return Some(MediaMeta("jpeg", be16(i + 7), be16(i + 5), 1))
-        if (marker >= 0xd0 && marker <= 0xd9) i += 2 // standalone markers
+        // the spec allows any run of 0xFF FILL bytes before a marker:
+        // step over them, or the fill byte itself would be read as a
+        // segment marker and its neighbors as a garbage length
+        if (u8(i + 1) == 0xff) i += 1
         else {
-          val segLen = be16(i + 2)
-          if (segLen < 2) return Some(MediaMeta("jpeg", 0, 0, 1)) // corrupt
-          i += 2 + segLen
+          val marker = u8(i + 1)
+          if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
+            return Some(MediaMeta("jpeg", be16(i + 7), be16(i + 5), 1))
+          // standalone (parameterless) markers: RST0-7/SOI/EOI and TEM
+          if ((marker >= 0xd0 && marker <= 0xd9) || marker == 0x01) i += 2
+          else {
+            val segLen = be16(i + 2)
+            if (segLen < 2) return Some(MediaMeta("jpeg", 0, 0, 1)) // corrupt
+            i += 2 + segLen
+          }
         }
       }
       return Some(MediaMeta("jpeg", 0, 0, 1)) // truncated before SOF
@@ -404,14 +411,23 @@ object BinaryPipeline {
   // --- JDK ImageIO codec path (java.desktop ships jpeg/png/gif/bmp/tiff
   // readers — real codecs, headless-safe). Memory-cached streams: no
   // executor-local temp files per decode.
-  java.lang.System.setProperty("java.awt.headless", "true")
-  javax.imageio.ImageIO.setUseCache(false)
+
+  /** One-time AWT/ImageIO setup, run lazily at the FIRST actual ImageIO
+    * use — not as a class-initializer side effect, which would clobber
+    * a host application's headless/cache configuration merely because
+    * some unrelated BinaryPipeline helper was touched.
+    */
+  private lazy val imageIoInit: Unit = {
+    java.lang.System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
 
   /** Open an ImageIO reader over the bytes, run `f`, release resources.
     * None when no installed reader recognizes the container.
     */
   private def withImageReader[T](bytes: Array[Byte])(
       f: javax.imageio.ImageReader => T): Option[T] = {
+    imageIoInit
     if (bytes == null || bytes.length < 4) return None
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -592,6 +608,10 @@ object BinaryPipeline {
     }
 
   def sampleAndFeaturize(media: DataFrame, stride: Int = 4, dim: Int = 16): Dataset[Frame] = {
+    // fail at the DRIVER, not as an opaque stage failure after the
+    // decode work already ran inside a task
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("id").cast("string"), col("bytes"))
@@ -602,9 +622,12 @@ object BinaryPipeline {
             decodePixels(bytes).orElse(decodeImageIOFrame(bytes, 0)) match {
               case Some((w, h, l)) =>
                 Iterator.single(Frame(id, 0, gridFeature(w, h, l, dim)))
-              case None => // undecodable: stub keeps the pipeline total
+              case None => // undecodable: stub keeps the pipeline total —
+                // at least ONE frame even when the stub meta reports
+                // nFrames=0 (null/empty bytes), or the item would vanish
+                // from the frame table while still appearing in decode()
                 val meta = decodeMeta(bytes)
-                (0 until meta.nFrames by stride).iterator.map(f =>
+                (0 until math.max(1, meta.nFrames) by stride).iterator.map(f =>
                   Frame(id, f, featurizeStub(bytes, f, dim)))
             }
           else withImageReader(bytes) { r =>
@@ -621,7 +644,7 @@ object BinaryPipeline {
             }.toList
           }.getOrElse {
             val meta = decodeMeta(bytes)
-            (0 until meta.nFrames by stride).map(f =>
+            (0 until math.max(1, meta.nFrames) by stride).map(f =>
               Frame(id, f, featurize(bytes, f, dim))).toList
           }.iterator
         }
@@ -737,11 +760,19 @@ object BinaryPipeline {
     */
   def mediaDuplicatePairs(media: DataFrame, threshold: Double = 0.995,
                           stride: Int = 1, dim: Int = 16,
-                          mode: String = "lsh"): DataFrame = {
+                          mode: String = "lsh",
+                          materialize: Boolean = true): DataFrame = {
     // validated, not defaulted-on-typo: a caller asking for "Exact" to
     // build recall ground truth must not silently get the approximate path
     require(mode == "lsh" || mode == "exact", s"mode must be lsh|exact, got $mode")
-    val emb = mediaEmbeddings(media, stride, dim)
+    // the embedding table feeds BOTH sides of the pair search;
+    // materialized once, or the dominant cost — the per-item decode +
+    // featurize + itemEmbedding shuffle — executes twice per run (the
+    // long-running MediaDedupJob instead persists embeddings to its
+    // store and re-reads). materialize=false keeps the lazy plan for
+    // dumps.
+    val emb0 = mediaEmbeddings(media, stride, dim)
+    val emb = if (materialize) emb0.localCheckpoint(true) else emb0
     if (mode == "exact")
       graft.functions.Embeddings.bruteForceThresholdPairs(emb, threshold)
     else
@@ -759,10 +790,16 @@ object BinaryPipeline {
     * the full-corpus pair set (ids are disjoint across batches).
     */
   def incrementalMediaPairs(newEmb: DataFrame, storeEmb: DataFrame,
-                            threshold: Double): DataFrame =
-    graft.functions.Embeddings.bruteForceThresholdPairs(newEmb, threshold)
+                            threshold: Double): DataFrame = {
+    // newEmb is consumed three times (two bounded collects + the
+    // broadcast small side); materialized once so a decode-backed
+    // lineage doesn't re-run per consumer — it is BOUNDED by the same
+    // contract that lets it broadcast at all
+    val ne = newEmb.localCheckpoint(true)
+    graft.functions.Embeddings.bruteForceThresholdPairs(ne, threshold)
       .unionByName(graft.functions.Embeddings
-        .broadcastThresholdJoin(newEmb, storeEmb, threshold))
+        .broadcastThresholdJoin(ne, storeEmb, threshold))
+  }
 
   /** Pairs -> duplicate-group assignments (same CC operator as the text
     * pipeline; cluster id = min member id).
@@ -778,8 +815,12 @@ object BinaryPipeline {
     * pipeline's keep-list operator unchanged: quality is just a column.
     */
   def mediaKeepList(media: DataFrame, clusters: DataFrame): DataFrame =
+    // widths/heights cast BEFORE the multiply: dims come from untrusted
+    // headers (PNG carries be32 up to 2^31-1), and an Int product past
+    // Int.MaxValue throws ARITHMETIC_OVERFLOW under ANSI — one forged
+    // header would kill the whole keep-list job
     graft.pipeline.Dedup.keepList(decode(media), clusters,
-      (col("width") * col("height")).cast("double"))
+      col("width").cast("double") * col("height").cast("double"))
 
   /** REAL PCM decode for RIFF/WAVE (PCM format 1, 8- or 16-bit, any
     * channel count — channels mean-mixed to mono, samples normalized to
@@ -851,6 +892,7 @@ object BinaryPipeline {
     * (pipeline stays total).
     */
   def audioFrames(media: DataFrame, window: Int = 1024): Dataset[Frame] = {
+    require(window >= 1, s"window must be >= 1, got $window")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("id").cast("string"), col("bytes"))
@@ -858,7 +900,12 @@ object BinaryPipeline {
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
           decodeWavPcm(bytes) match {
-            case Some((_, pcm)) =>
+            // a VALID wav with an empty data chunk takes the stub path
+            // below: one forced window over zero samples would divide
+            // by len=0 and emit NaN features, and NaN cosines compare
+            // GREATER than any threshold in Spark SQL — the item would
+            // pair with everything sharing its LSH bucket
+            case Some((_, pcm)) if pcm.nonEmpty =>
               val n = math.max(1, pcm.length / window)
               (0 until n).iterator.map { wi =>
                 val from = wi * window
@@ -887,7 +934,7 @@ object BinaryPipeline {
                   math.sqrt(sq / len).toFloat, zc.toFloat / len,
                   (ma / len).toFloat, pk.toFloat) ++ ac)
               }
-            case None =>
+            case _ =>
               Iterator.single(Frame(id, 0, featurizeStub(bytes, 0, AudioFeatureDim)))
           }
         }

@@ -520,13 +520,42 @@ class MultimodalSpec extends SparkSpecBase {
     val frames = BinaryPipeline.sampleAndFeaturize(media, stride = 1, dim = 4)
       .collect().groupBy(_.id)
     assert(frames.contains("real") && frames.contains("junk"))
-    assert(!frames.contains("nul") && !frames.contains("empty"),
-      "zero-frame media emits no rows") // decodeStub nFrames=0 for empty
+    // TOTALITY: every input item emits at least one (stub) frame — an
+    // item that decodes to zero frames must not silently vanish from
+    // the frame table while still appearing in decode()
+    assert(frames.contains("nul") && frames.contains("empty"),
+      "zero-frame media must emit a stub frame, not disappear")
     // pair search over the mixed table: no crash, only real-vs-real space
     assert(BinaryPipeline.mediaDuplicatePairs(media, threshold = 0.9999).count() == 0)
     // audio path on the same hostile inputs
     val af = BinaryPipeline.audioFrames(media).collect().groupBy(_.id)
     assert(af("junk").length == 1) // stub frame
+    // a VALID wav with an EMPTY data chunk: stub frame with finite
+    // features — a forced zero-length window would emit NaN, and NaN
+    // cosines compare greater than any threshold in Spark SQL (the item
+    // would pair with everything in its LSH bucket)
+    val emptyWav = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le32(v: Int) = (0 until 4).foreach(i => out.write((v >> (8 * i)) & 0xff))
+      def le16(v: Int) = (0 until 2).foreach(i => out.write((v >> (8 * i)) & 0xff))
+      out.write("RIFF".getBytes); le32(36); out.write("WAVE".getBytes)
+      out.write("fmt ".getBytes); le32(16); le16(1); le16(1)
+      le32(8000); le32(16000); le16(2); le16(16)
+      out.write("data".getBytes); le32(0)
+      out.toByteArray
+    }
+    val wavFrames = BinaryPipeline.audioFrames(
+      Seq(("w0", emptyWav)).toDF("id", "bytes")).collect()
+    assert(wavFrames.length == 1 &&
+      wavFrames(0).feature.forall(f => !f.isNaN && !f.isInfinite),
+      "empty-data wav must take the stub path, never NaN features")
+    // JPEG fill bytes before a marker are legal: dims still parse
+    val filledJpeg = Array[Int](0xff, 0xd8, 0xff, 0xff, 0xff, 0xc0,
+      0x00, 0x0b, 0x08, 0x00, 0x10, 0x00, 0x20, 0x01, 0x01, 0x11, 0x00)
+      .map(_.toByte)
+    val jm = BinaryPipeline.decodeMeta(filledJpeg)
+    assert(jm.format == "jpeg" && jm.width == 0x20 && jm.height == 0x10,
+      s"fill-byte jpeg misparsed: $jm")
   }
 
   test("MediaDedupJob: durable media pipeline, exact==lsh keep decisions on planted groups") {
