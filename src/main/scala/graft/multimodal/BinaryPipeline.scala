@@ -760,22 +760,22 @@ object BinaryPipeline {
     */
   def mediaDuplicatePairs(media: DataFrame, threshold: Double = 0.995,
                           stride: Int = 1, dim: Int = 16,
-                          mode: String = "lsh",
-                          materialize: Boolean = true): DataFrame = {
+                          mode: String = "lsh"): DataFrame = {
     // validated, not defaulted-on-typo: a caller asking for "Exact" to
     // build recall ground truth must not silently get the approximate path
     require(mode == "lsh" || mode == "exact", s"mode must be lsh|exact, got $mode")
-    // the embedding table feeds BOTH sides of the pair search;
-    // materialized once, or the dominant cost — the per-item decode +
-    // featurize + itemEmbedding shuffle — executes twice per run (the
-    // long-running MediaDedupJob instead persists embeddings to its
-    // store and re-reads). materialize=false keeps the lazy plan for
-    // dumps.
-    val emb0 = mediaEmbeddings(media, stride, dim)
-    val emb = if (materialize) emb0.localCheckpoint(true) else emb0
+    val emb = mediaEmbeddings(media, stride, dim)
     if (mode == "exact")
-      graft.functions.Embeddings.bruteForceThresholdPairs(emb, threshold)
+      // collect + rescan are SEPARATE jobs (no exchange reuse across
+      // actions): materialize once or the decode lineage runs twice
+      graft.functions.Embeddings.bruteForceThresholdPairs(
+        emb.localCheckpoint(true), threshold)
     else
+      // the bucket join references emb on both sides WITHIN one plan,
+      // and Catalyst's ReusedExchange dedups the identical subtree —
+      // measured same-window at sf0.1: lazy 1.78 s vs an eager
+      // checkpoint 2.37 s, so the decode already runs once and a
+      // checkpoint is pure overhead here
       graft.functions.Embeddings.srpThresholdPairs(emb, threshold)
   }
 
