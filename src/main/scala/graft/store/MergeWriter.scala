@@ -47,7 +47,7 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
     }
     val dir = log.newDataDir()
     val stamped = batch.withColumn("_batch", lit(batchId))
-    log.requireLegacyCompatible(spark, stamped.schema.json)
+    val seed = log.requireLegacyCompatible(spark, stamped.schema.json)
     stamped
       .write.mode(SaveMode.Overwrite)
       .parquet(dir.getPath)
@@ -60,7 +60,8 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
     // side effect of one narrow batch
     log.commitAppend(Seq(TxEntry(log.relativize(dir), batchId)),
       replaceBatch = Some(batchId), op = "upsert",
-      schemaJson = Some(stamped.schema.json), widenSchema = true): Unit
+      schemaJson = Some(stamped.schema.json), widenSchema = true,
+      seedLineage = seed): Unit
   }
 
   /** Snapshot read with a read-time `_seq` column = the entry's index
@@ -142,8 +143,12 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
     * `vacuum`. A concurrent upsert that wins the CAS race aborts this
     * compaction (retried up to `maxRetries`, then skipped — compaction
     * is an optimization, never worth clobbering a live write).
+    * `keepVersions`/`retainMs` pass straight to [[TxLog.vacuum]] so
+    * pinned snapshot readers within the retention window keep their
+    * files; `keepVersions = 0` skips the vacuum (caller owns retention).
     */
-  def compact(maxRetries: Int = 3, vacuumGraceMs: Long = 600000L): Unit = {
+  def compact(maxRetries: Int = 3, vacuumGraceMs: Long = 600000L,
+              keepVersions: Int = 1, retainMs: Long = 0L): Unit = {
     var attempt = 0
     while (attempt < maxRetries) {
       val snap = log.snapshot()
@@ -166,7 +171,9 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
       // data keeps maxBatch for last-writer-wins ordering)
       if (log.commitReplace(Seq(TxEntry(log.relativize(dir), CompactedEntryTag)),
           snap.version)) {
-        log.vacuum(keepVersions = 1, orphanGraceMs = vacuumGraceMs)
+        if (keepVersions >= 1)
+          log.vacuum(keepVersions, orphanGraceMs = vacuumGraceMs,
+            retainMs = retainMs)
         return
       }
       // a concurrent commit won the version — drop the staged rewrite

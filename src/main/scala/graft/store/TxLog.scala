@@ -172,7 +172,8 @@ final class TxLog(val root: String) {
                    replaceBatch: Option[Long] = None,
                    op: String = "append",
                    schemaJson: Option[String] = None,
-                   widenSchema: Boolean = false): Long = {
+                   widenSchema: Boolean = false,
+                   seedLineage: Map[String, String] = Map.empty): Long = {
     newEntries.foreach(e => requireSafePath(e.path))
     @tailrec def loop(): Long = {
       val cur = snapshot()
@@ -189,8 +190,15 @@ final class TxLog(val root: String) {
       // loop, so a batch narrower than the table never drops columns
       // and two concurrent widening writers never clobber each other's
       // additions.
+      // seedLineage (legacy footer columns, requireLegacyCompatible)
+      // fills in only NAMES the live lineage doesn't know — applied
+      // inside the CAS loop so a concurrent first-declarer's lineage
+      // wins for the columns it declared.
+      val seeded = seedLineage.filterNot { case (n, _) =>
+        cur.colLineage.keysIterator.exists(_.equalsIgnoreCase(n))
+      } ++ cur.colLineage
       val (next, lineage) =
-        TxLog.evolve(cur.schemaJson, cur.colLineage, schemaJson, widenSchema)
+        TxLog.evolve(cur.schemaJson, seeded, schemaJson, widenSchema)
       val v = cur.version + 1
       if (tryPublish(v, render(v, op, kept ++ newEntries, next, lineage))) v
       else loop()
@@ -385,15 +393,25 @@ final class TxLog(val root: String) {
     * exactly once per table (after the first declaration the current
     * schema carries the check). mergeSchema itself fails loudly if the
     * legacy files already disagree with each other.
+    *
+    * Returns a column-lineage SEED covering every legacy column from
+    * the footer union — not just the declared fields. A legacy column
+    * absent from the first declaration would otherwise never enter
+    * lineage, and a later `alterAddColumn` could re-add it at a
+    * different type, breaking pinned reads over the old files — exactly
+    * the drop-then-re-add hole lineage exists to close. Empty when the
+    * table already has a schema (lineage is current) or is empty.
     */
   private[store] def requireLegacyCompatible(spark: SparkSession,
-                                             declared: String): Unit = {
+                                             declared: String)
+      : Map[String, String] = {
     val snap = snapshot()
     if (snap.schemaJson.isEmpty && snap.entries.nonEmpty) {
       val merged = spark.read.option("mergeSchema", "true")
         .parquet(liveDirs(snap): _*).schema
       TxLog.requireEvolvable(merged.json, declared)
-    }
+      merged.fields.map(f => f.name -> f.dataType.json).toMap
+    } else Map.empty
   }
 
   /** Stage `df` into a fresh data directory and commit it as an append,
@@ -413,7 +431,7 @@ final class TxLog(val root: String) {
       require(df.columns.contains(c), s"bloom column '$c' not in data")
       TxLog.requireBloomable(c, df.schema(c).dataType)
     }
-    requireLegacyCompatible(df.sparkSession, df.schema.json)
+    val seed = requireLegacyCompatible(df.sparkSession, df.schema.json)
     val dir = newDataDir()
     df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir.getPath)
     val stats =
@@ -421,7 +439,7 @@ final class TxLog(val root: String) {
       else TxLog.statsOf(df.sparkSession, dir.getPath, statsCols)
     val blooms = writeBloomSidecars(df.sparkSession, dir, bloomCols)
     commitAppend(Seq(TxEntry(relativize(dir), batch, stats, blooms)),
-      schemaJson = Some(df.schema.json))
+      schemaJson = Some(df.schema.json), seedLineage = seed)
   }
 
   /** Build and write `_bloom_<col>.bin` sidecars for the just-written
@@ -474,7 +492,7 @@ final class TxLog(val root: String) {
       require(df.columns.contains(c), s"bloom column '$c' not in data")
       TxLog.requireBloomable(c, df.schema(c).dataType)
     }
-    requireLegacyCompatible(df.sparkSession, df.schema.json)
+    val seed = requireLegacyCompatible(df.sparkSession, df.schema.json)
     val dir = newDataDir()
     df.withColumn("_part", partExpr.cast("string"))
       .write.partitionBy("_part")
@@ -537,7 +555,8 @@ final class TxLog(val root: String) {
     }
     // the declared table schema is the INPUT schema — `_part` is the
     // hidden partition key, not a table column
-    commitAppend(entries, schemaJson = Some(df.schema.json))
+    commitAppend(entries, schemaJson = Some(df.schema.json),
+      seedLineage = seed)
   }
 
   /** Partition-scoped compaction for hidden-partitioned tables — the
@@ -559,10 +578,19 @@ final class TxLog(val root: String) {
     * re-delivery (keyed stores compact via [[MergeWriter.compact]],
     * which understands last-writer-wins). Returns true if a compaction
     * committed, false if nothing needed it or retries were exhausted.
+    *
+    * Retention after the commit is governed by `keepVersions`/`retainMs`
+    * — the SAME contract as [[vacuum]], so a pinned reader
+    * ([[graft.store.TxLogSql.pinView]] / [[snapshotAt]]) within the
+    * retention window survives compaction. `keepVersions = 0` skips the
+    * vacuum entirely (the caller owns retention); the default of 1
+    * reclaims everything superseded, matching vacuum's own default.
     */
   def compactPartitions(spark: SparkSession, minEntries: Int = 2,
                         maxRetries: Int = 3,
-                        vacuumGraceMs: Long = 600000L): Boolean = {
+                        vacuumGraceMs: Long = 600000L,
+                        keepVersions: Int = 1,
+                        retainMs: Long = 0L): Boolean = {
     require(minEntries >= 2, "compacting partitions of <2 entries is a no-op")
     val partOf = """.*/(_part=[A-Za-z0-9._\-]+)$""".r
     var attempt = 0
@@ -607,7 +635,9 @@ final class TxLog(val root: String) {
       }
       if (commitReplace(untouched ++ staged, snap.version,
           op = "compact-partitions")) {
-        vacuum(keepVersions = 1, orphanGraceMs = vacuumGraceMs)
+        if (keepVersions >= 1)
+          vacuum(keepVersions, orphanGraceMs = vacuumGraceMs,
+            retainMs = retainMs)
         return true
       }
       TxLog.deleteRecursively(dir)

@@ -303,9 +303,14 @@ object IncrementalIngest {
     * files — silent corruption instead of a clean CAS abort) nor yank
     * files from a reader holding a pre-compact snapshot. Pass 0 only in
     * tests / known-quiescent maintenance windows.
+    * `keepVersions`/`retainMs` pass straight to
+    * [[graft.store.TxLog.vacuum]] so pinned snapshot readers within the
+    * retention window keep their files; `keepVersions = 0` skips the
+    * vacuum (caller owns retention).
     */
   def compactStores(spark: SparkSession, workDir: String, cfg: DedupConfig,
-                    vacuumGraceMs: Long = 600000L)
+                    vacuumGraceMs: Long = 600000L,
+                    keepVersions: Int = 1, retainMs: Long = 0L)
       : Option[(Set[String], Set[String])] = {
     val targetParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     var sigRewrite: Option[(Set[String], Set[String])] = None
@@ -320,7 +325,9 @@ object IncrementalIngest {
             .write.mode(SaveMode.Overwrite).parquet(dir.getPath)
           val entry = TxEntry(log.relativize(dir), maxBatch)
           if (log.commitReplace(Seq(entry), snap.version)) {
-            log.vacuum(keepVersions = 1, orphanGraceMs = vacuumGraceMs)
+            if (keepVersions >= 1)
+              log.vacuum(keepVersions, orphanGraceMs = vacuumGraceMs,
+                retainMs = retainMs)
             if (isSig)
               sigRewrite =
                 Some((snap.entries.map(_.path).toSet, Set(entry.path)))

@@ -877,4 +877,66 @@ class TxLogSpec extends SparkSpecBase {
     assert(log.prunePoint(mixed, "id", Seq(42L)).size == 2) // conservative
     assert(log.read(spark).get.count() == 4200)
   }
+
+  test("legacy columns absent from the first declaration still seed the lineage") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    // legacy (pre-evolution) table whose live files carry `extra:string`
+    val log = new TxLog(tmp("txlog-legacy-lineage"))
+    val dir = log.newDataDir()
+    Seq((1L, "keep-me")).toDF("id", "extra").write.parquet(dir.getPath)
+    log.commitAppend(Seq(TxEntry(log.relativize(dir), -1L)))
+    // first declaration does NOT mention `extra` — a legitimate narrow
+    // declaration (evolution treats it as a drop). The legacy footer
+    // union must still enter the lineage, or `extra` could later be
+    // re-added at a different type and pinned reads over the legacy
+    // file would fail at scan time.
+    log.writeAppend(Seq(2L).toDF("id"))
+    assert(log.read(spark).get.columns.toSeq == Seq("id"))
+    val ex = intercept[IllegalArgumentException] {
+      log.alterAddColumn("extra", LongType)
+    }
+    assert(ex.getMessage.contains("extra"))
+    log.alterAddColumn("extra", StringType): Unit // original type: fine
+    val rows = log.read(spark).get.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(rows == Set((1L, Some("keep-me")), (2L, None)))
+  }
+
+  test("compaction honors vacuum retention: pinned pre-compact snapshots survive keepVersions>1") {
+    val spark2 = spark
+    import spark2.implicits._
+    // partition-scoped compaction (compactPartitions)
+    val log = new TxLog(tmp("txlog-compact-retain"))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val weekExpr = date_format(date_trunc("week", col("ts")), "yyyyMMdd")
+    log.writePartitionedAppend(Seq((1L, ts("2026-01-05 00:00:00"))).toDF("id", "ts"),
+      weekExpr, Seq("ts"))
+    val pinned = log.currentVersion()
+    log.writePartitionedAppend(Seq((2L, ts("2026-01-06 00:00:00"))).toDF("id", "ts"),
+      weekExpr, Seq("ts"))
+    assert(log.compactPartitions(spark, vacuumGraceMs = 0L, keepVersions = 3))
+    // the pre-compact snapshot is still fully readable: neither its
+    // manifest nor its data files were reclaimed
+    assert(log.readSnapshot(spark, log.snapshotAt(pinned)).count() == 1)
+    // keyed-store compaction (MergeWriter.compact) under the same contract
+    val w = new MergeWriter(spark, tmp("txlog-mw-retain"), Seq("k"))
+    w.upsert(Seq(("a", 1)).toDF("k", "v"), batchId = 1)
+    val v0 = w.txLog.currentVersion()
+    w.upsert(Seq(("a", 2)).toDF("k", "v"), batchId = 2)
+    w.compact(vacuumGraceMs = 0L, keepVersions = 4)
+    assert(w.readAsOf(v0).collect().map(r => (r.getString(0), r.getInt(1)))
+      .toSet == Set(("a", 1)))
+    // keepVersions = 0 skips the vacuum entirely (caller owns retention)
+    val w2 = new MergeWriter(spark, tmp("txlog-mw-novac"), Seq("k"))
+    w2.upsert(Seq(("a", 1)).toDF("k", "v"), batchId = 1)
+    w2.upsert(Seq(("a", 2)).toDF("k", "v"), batchId = 2)
+    val preVersions = w2.txLog.history().size
+    w2.compact(vacuumGraceMs = 0L, keepVersions = 0)
+    assert(w2.txLog.history().size == preVersions + 1,
+      "keepVersions=0 must leave every manifest in place")
+    assert(w2.read().collect().map(r => (r.getString(0), r.getInt(1)))
+      .toSet == Set(("a", 2)))
+  }
 }
