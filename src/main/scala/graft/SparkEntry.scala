@@ -59,13 +59,12 @@ object SparkEntry {
     if (srcSig == eventsMemo.get(root)) return current
     // content fingerprint over EVERY column — a regenerated corpus
     // that keeps (event_id, ts) but redraws value/user_id/event_type
-    // must still invalidate the cached table
-    def fp(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        expr("bit_xor(xxhash64(event_id, ts, user_id, event_type, " +
-          "value, props))")).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
+    // must still invalidate the cached table. Duplicate-sensitive SUM
+    // fold (not bit_xor, where identical rows cancel out).
+    def fp(df: DataFrame): (Long, Long) =
+      graft.functions.IvfCentroidStore.contentFingerprint(df,
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+          .map(col))
     val want = fp(ev)
     // reuse only a complete, stats-bearing, content-identical build
     def ok: Boolean = current.exists &&

@@ -255,7 +255,7 @@ object Embeddings {
     * cosine): map-side partial top-k (with boundary ties) then a final
     * window over the surviving sliver.
     */
-  private def topKRanked(scored0: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKRanked(scored0: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.{Encoders, Row}
     val scored = scored0.select("query_id", "neighbor_id", "cosine")
@@ -280,13 +280,21 @@ object Embeddings {
       // group has 50k pairwise-identical cosines), degrading to
       // quadratic sort work and breaking the O(queries*k) memory bound.
       // Only ids the order genuinely cannot compare stay as ties.
+      // Double.compare, not primitive >: primitive NaN comparisons are
+      // all-false, which makes NaN compare "equal" to everything —
+      // intransitive (TimSort contract violation on mixed buffers) and
+      // diverging from the final window's total order. Double.compare
+      // ranks NaN greatest, exactly Spark's DoubleType sort order, so
+      // the map-side compaction keeps the same rows the window ranks.
+      def cmpCos(a: Double, b: Double): Int = java.lang.Double.compare(a, b)
       def compacted(buf: scala.collection.mutable.ArrayBuffer[(Any, Double)]) = {
         val sorted = buf.sortWith { (p, q) =>
-          if (p._2 != q._2) p._2 > q._2 else cmpId(p._1, q._1) < 0
+          val c = cmpCos(p._2, q._2)
+          if (c != 0) c > 0 else cmpId(p._1, q._1) < 0
         }
         val cut = sorted(k - 1)
         sorted.iterator.zipWithIndex.takeWhile { case (e, i) =>
-          i < k || (e._2 == cut._2 && cmpId(e._1, cut._1) == 0)
+          i < k || (cmpCos(e._2, cut._2) == 0 && cmpId(e._1, cut._1) == 0)
         }.map(_._1).to(scala.collection.mutable.ArrayBuffer)
       }
       it.foreach { r =>
@@ -518,10 +526,13 @@ object IvfCentroidStore {
 
   /** Fingerprint FORMULA version stored with the centroids: a store
     * stamped by a different formula cannot be validated and takes the
-    * legacy retrain path. v2 = content hash over (id, embedding);
-    * v1 hashed ids only.
+    * legacy retrain path. v3 = wrap-around SUM fold of the content hash
+    * (duplicate-sensitive); v2 folded with bit_xor, where identical
+    * rows cancel — an even-multiset swap (two copies of row A replaced
+    * by two copies of row B) kept both count and hash unchanged, so a
+    * stale store silently passed validation; v1 hashed ids only.
     */
-  private val FpVersion = 2
+  private val FpVersion = 3
 
   /** (row count, order-independent CONTENT-hash fold) of the corpus.
     * The hash covers the embedding vectors, not just the ids — a
@@ -530,10 +541,25 @@ object IvfCentroidStore {
     * store, or it would silently probe centroids trained on different
     * data. xxhash64 folds the full array value.
     */
-  private def fingerprint(emb: DataFrame): (Long, Long) = {
-    val r = emb.agg(count(lit(1)),
-      expr("bit_xor(xxhash64(id, embedding))")).head
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  private def fingerprint(emb: DataFrame): (Long, Long) =
+    contentFingerprint(emb, Seq(col("id"), col("embedding")))
+
+  /** Order-independent but DUPLICATE-SENSITIVE content fingerprint:
+    * wrap-around sum (mod 2^64) of the row content hash. Unlike a
+    * bit_xor fold, identical rows cannot cancel, so no multiset change
+    * preserves the fold short of an xxhash64 collision. The sum runs in
+    * decimal(38,0) (exact up to ~10^19 rows, overflow-free under ANSI);
+    * the stored/compared value is its low 64 bits.
+    */
+  private[graft] def contentFingerprint(df: DataFrame,
+                                        cols: Seq[org.apache.spark.sql.Column])
+      : (Long, Long) = {
+    val r = df.agg(count(lit(1)),
+      sum(xxhash64(cols: _*)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head
+    val h = if (r.isNullAt(1)) 0L
+            else r.getDecimal(1).toBigInteger.longValue()
+    (r.getLong(0), h)
   }
 
   /** Centroids for `(storeDir, tag)`: memo hit, else committed store
@@ -570,6 +596,11 @@ object IvfCentroidStore {
       // the table always holds ONE entry
       log.commitAppend(Seq(TxEntry(log.relativize(dir), 0L)),
         replaceBatch = Some(0L), op = "centroids"): Unit
+      // a concurrent first-caller who lost the CAS race leaves a data
+      // directory the manifest no longer references — reclaim it here
+      // like every other CAS path does (the default orphan grace window
+      // protects a committer still staging)
+      log.vacuum()
       trained
     }
     val cents = log.read(spark) match {

@@ -571,4 +571,51 @@ class ResumeStreamingAnnSpec extends SparkSpecBase {
     assert(rows(Embeddings.ivfTopKCached(emb, k = 3, store, "t1", nCells = 8)) ==
       rows(Embeddings.ivfTopKWith(emb, k = 3, fresh)))
   }
+
+  test("fingerprint fold is duplicate-sensitive: an even-multiset swap fails validation") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.functions.IvfCentroidStore
+    // {A,A,B,B} and {C,C,D,D}: every row appears an EVEN number of
+    // times, so a bit_xor fold of the row hashes collapses BOTH
+    // corpora to 0 with identical counts — the v2 formula validated a
+    // stale store across exactly this swap. The sum fold must not.
+    def corpus(base: Int) = (0 until 4).map { i =>
+      val id = (base + i / 2).toLong // two copies of each row
+      (id, (0 until 8).map(d => math.sin(id * 17 + d).toFloat))
+    }.toDF("id", "embedding")
+    val c1 = corpus(0)
+    val c2 = corpus(100)
+    val fp = (df: org.apache.spark.sql.DataFrame) =>
+      IvfCentroidStore.contentFingerprint(df,
+        Seq(col("id"), col("embedding")))
+    assert(fp(c1)._1 == fp(c2)._1, "counts tie by construction")
+    assert(fp(c1)._2 != fp(c2)._2, "sum fold must distinguish the multisets")
+    val store = tmpDir("graft-ivf-xor")
+    IvfCentroidStore.clearMemo()
+    IvfCentroidStore.loadOrTrain(c1, store, "swap", nCells = 2): Unit
+    IvfCentroidStore.clearMemo()
+    val ex = intercept[IllegalStateException] {
+      IvfCentroidStore.loadOrTrain(c2, store, "swap", nCells = 2)
+    }
+    assert(ex.getMessage.contains("different corpus"))
+  }
+
+  test("map-side top-k compaction is NaN-safe and matches the window's NaN-greatest order") {
+    val spark2 = spark
+    import spark2.implicits._
+    // one query with enough rows to force compaction (>= 4k) including
+    // NaN cosines: primitive-comparison sorting made NaN intransitive
+    // (TimSort contract risk) and could drop the rows the final window
+    // ranks FIRST (Spark sorts NaN greatest, so desc puts NaN on top)
+    val k = 3
+    val rows = (0 until 40).map(i => (1L, i.toLong, i / 100.0)) ++
+      Seq((1L, 900L, Double.NaN), (1L, 901L, Double.NaN))
+    val scored = rows.toDF("query_id", "neighbor_id", "cosine")
+      .repartition(1) // one partition => one buffer => compaction fires
+    val got = Embeddings.topKRanked(scored, k).collect()
+      .map(r => (r.getLong(1), r.getInt(3))).sortBy(_._2)
+    // NaN rows outrank every finite cosine; id asc breaks the NaN tie
+    assert(got.toSeq == Seq((900L, 1), (901L, 2), (39L, 3)))
+  }
 }
