@@ -594,7 +594,8 @@ object IvfCentroidStore {
       // replaceBatch: a concurrent first-caller's identical commit (or
       // a superseded legacy-format entry) is replaced, not duplicated —
       // the table always holds ONE entry
-      log.commitAppend(Seq(TxEntry(log.relativize(dir), 0L)),
+      log.commitAppend(Seq(TxEntry(log.relativize(dir), 0L,
+          rows = trained.length.toLong)),
         replaceBatch = Some(0L), op = "centroids"): Unit
       // a concurrent first-caller who lost the CAS race leaves a data
       // directory the manifest no longer references — reclaim it here

@@ -58,7 +58,8 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
     // table's other columns (its rows read them as null) — dropping a
     // column is a deliberate DDL (txLog.alterDropColumn), never the
     // side effect of one narrow batch
-    log.commitAppend(Seq(TxEntry(log.relativize(dir), batchId)),
+    log.commitAppend(Seq(TxEntry(log.relativize(dir), batchId,
+        rows = TxLog.footerRowCount(dir))),
       replaceBatch = Some(batchId), op = "upsert",
       schemaJson = Some(stamped.schema.json), widenSchema = true,
       seedLineage = seed): Unit
@@ -169,7 +170,8 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
       // otherwise replaceBatch-drop the compacted all-history entry and
       // silently wipe every other key (the _batch COLUMN inside the
       // data keeps maxBatch for last-writer-wins ordering)
-      if (log.commitReplace(Seq(TxEntry(log.relativize(dir), CompactedEntryTag)),
+      if (log.commitReplace(Seq(TxEntry(log.relativize(dir), CompactedEntryTag,
+          rows = TxLog.footerRowCount(dir))),
           snap.version)) {
         if (keepVersions >= 1)
           log.vacuum(keepVersions, orphanGraceMs = vacuumGraceMs,

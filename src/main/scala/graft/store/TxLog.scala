@@ -41,11 +41,15 @@ final case class BloomMeta(mBits: Int, k: Int, file: String)
   * optionally carries per-column min/max bounds for manifest-level
   * file skipping ([[TxLog.pruneRange]]); `blooms` optionally carries
   * per-column Bloom filters for point-lookup skipping
-  * ([[TxLog.prunePoint]]).
+  * ([[TxLog.prunePoint]]); `rows` is the directory's row count (the
+  * Iceberg manifest `record_count` analog — lets a reader size sketches
+  * or report totals without a table scan), −1 when unknown (legacy
+  * manifests written before the field existed).
   */
 final case class TxEntry(path: String, batch: Long,
                          stats: Map[String, ColStats] = Map.empty,
-                         blooms: Map[String, BloomMeta] = Map.empty)
+                         blooms: Map[String, BloomMeta] = Map.empty,
+                         rows: Long = -1L)
 
 /** An immutable view of the table at one committed version.
   * `schemaJson` is the table schema as of this version (Spark
@@ -60,7 +64,19 @@ final case class TxEntry(path: String, batch: Long,
   */
 final case class TxSnapshot(version: Long, entries: Vector[TxEntry],
                             schemaJson: Option[String] = None,
-                            colLineage: Map[String, String] = Map.empty)
+                            colLineage: Map[String, String] = Map.empty) {
+  /** Total manifest-recorded row count, `None` if ANY entry predates
+    * row counts (a partial sum would silently under-report). For
+    * last-writer-wins stores ([[MergeWriter]]) this counts every live
+    * PHYSICAL row — superseded versions of a key included until
+    * compaction — so it is an upper bound on distinct keys; exact for
+    * append-only tables. Sized-from-above consumers (Bloom sketches,
+    * shuffle-partition planning) want exactly that bound.
+    */
+  def rowCount: Option[Long] =
+    if (entries.forall(_.rows >= 0L)) Some(entries.map(_.rows).sum)
+    else None
+}
 
 /** A from-scratch transaction-log table format — the Iceberg/Delta role
   * (the reference's transactional result store,
@@ -434,11 +450,12 @@ final class TxLog(val root: String) {
     val seed = requireLegacyCompatible(df.sparkSession, df.schema.json)
     val dir = newDataDir()
     df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir.getPath)
+    val rows = TxLog.footerRowCount(dir) // manifest record_count, job-free
     val stats =
       if (statsCols.isEmpty) Map.empty[String, ColStats]
       else TxLog.statsOf(df.sparkSession, dir.getPath, statsCols)
-    val blooms = writeBloomSidecars(df.sparkSession, dir, bloomCols)
-    commitAppend(Seq(TxEntry(relativize(dir), batch, stats, blooms)),
+    val blooms = writeBloomSidecars(df.sparkSession, dir, bloomCols, rows)
+    commitAppend(Seq(TxEntry(relativize(dir), batch, stats, blooms, rows)),
       schemaJson = Some(df.schema.json), seedLineage = seed)
   }
 
@@ -452,11 +469,12 @@ final class TxLog(val root: String) {
     * urls, ids); anything else is a caller bug and fails loudly.
     */
   private def writeBloomSidecars(spark: SparkSession, dir: File,
-                                 bloomCols: Seq[String]): Map[String, BloomMeta] = {
+                                 bloomCols: Seq[String],
+                                 rowCount: Long): Map[String, BloomMeta] = {
     import org.apache.spark.sql.functions.col
     if (bloomCols.isEmpty) return Map.empty
     val back = spark.read.parquet(dir.getPath)
-    val mBits = TxLog.bloomBitsFor(back.count()) // footer-only count
+    val mBits = TxLog.bloomBitsFor(rowCount) // footer count from the commit
     bloomCols.map { c =>
       val bits = TxLog.buildBloomBits(
         back.select(col(c).cast("string")), mBits)
@@ -551,7 +569,7 @@ final class TxLog(val root: String) {
         } yield c -> ColStats(mn._1, mn._2, mx._2)
       }.toMap
       TxEntry(s"${relativize(dir)}/_part=$part", batch, stats,
-        partBlooms.getOrElse(part, Map.empty))
+        partBlooms.getOrElse(part, Map.empty), partCounts(part))
     }
     // the declared table schema is the INPUT schema — `_part` is the
     // hidden partition key, not a table column
@@ -630,8 +648,13 @@ final class TxLog(val root: String) {
         .write.partitionBy("_part")
         .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir.getPath)
       val staged = hot.toSeq.sortBy(_._1).map { case (p, es) =>
+        // row-preserving rewrite: the merged count is the sum of the
+        // source counts when all are known (same contract as mergeStats
+        // — a legacy source without a count degrades to unknown rather
+        // than guessing)
+        val rows = if (es.forall(_.rows >= 0L)) es.map(_.rows).sum else -1L
         TxEntry(s"${relativize(dir)}/$p", -1L, TxLog.mergeStats(es.map(_.stats)),
-          mergeBloomSidecars(es, new File(dir, p)))
+          mergeBloomSidecars(es, new File(dir, p)), rows)
       }
       if (commitReplace(untouched ++ staged, snap.version,
           op = "compact-partitions")) {
@@ -883,7 +906,8 @@ final class TxLog(val root: String) {
                      schemaJson: Option[String],
                      colLineage: Map[String, String]): String = {
     val es = entries.map { e =>
-      val base = s"""{"path":"${e.path}","batch":${e.batch}"""
+      val rowsSeg = if (e.rows >= 0L) s""","rows":${e.rows}""" else ""
+      val base = s"""{"path":"${e.path}","batch":${e.batch}$rowsSeg"""
       // sorted for deterministic manifests (string-typed bounds can
       // hold arbitrary data values — e.g. urls — hence the escaping)
       val statsSeg =
@@ -936,6 +960,14 @@ final class TxLog(val root: String) {
           case JLong(b) => b
           case other    => sys.error(s"bad manifest entry batch: $other")
         }
+        // optional (absent on pre-row-count manifests → unknown = −1);
+        // present but malformed is corruption and fails loudly
+        val rows = it \ "rows" match {
+          case JNothing => -1L
+          case JInt(n)  => n.toLong
+          case JLong(n) => n
+          case other    => sys.error(s"bad manifest entry rows: $other")
+        }
         // stats are optional (absent in pre-stats manifests); a present
         // but malformed stats object is corruption and fails loudly
         val stats = it \ "stats" match {
@@ -967,7 +999,7 @@ final class TxLog(val root: String) {
           }.toMap
           case other => sys.error(s"bad manifest entry blooms: $other")
         }
-        TxEntry(path, batch, stats, blooms)
+        TxEntry(path, batch, stats, blooms, rows)
       }.toVector
       case other => sys.error(s"bad manifest entries: $other")
     }
@@ -1106,6 +1138,31 @@ object TxLog {
   private[graft] def deleteRecursively(f: File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
+  }
+
+  /** Row count of a just-written data directory, summed from parquet
+    * FOOTER metadata driver-side — no Spark job, no data pages (the
+    * Iceberg `record_count` is stamped the same way, from file
+    * metadata at commit time). Recurses into hidden-partition
+    * subdirectories; skips non-parquet and sidecar files by the same
+    * naming rules Spark's listing uses. Fails loudly on an unreadable
+    * footer — a file we just wrote must be readable, and a wrong count
+    * silently mis-sizes every consumer downstream.
+    */
+  private[graft] def footerRowCount(dir: File): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.set("fs.file.impl", classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
+    def walk(f: File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      else if (f.getName.endsWith(".parquet") &&
+               !f.getName.startsWith("_") && !f.getName.startsWith(".")) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toURI), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      } else 0L
+    walk(dir)
   }
 
   // --- point-lookup Bloom filters (see BloomMeta) -------------------------

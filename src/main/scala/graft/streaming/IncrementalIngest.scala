@@ -140,7 +140,13 @@ object IncrementalIngest {
           val store = sl.readSnapshot(spark, snap)
           val delta = snap.entries.filterNot(e => state.bloomPaths.contains(e.path))
           if (state.bloom == null || delta.size >= bloomRebuildEvery) {
-            val keyEstimate = math.max(1024L, store.select("id").count())
+            // size the sketch from manifest record counts (an upper
+            // bound on distinct ids — exactly what a Bloom sizing
+            // wants); the column-scan count survives only as the
+            // legacy-manifest fallback, so a 100-TB store rebuild
+            // costs no extra pass
+            val keyEstimate = math.max(1024L,
+              snap.rowCount.getOrElse(store.select("id").count()))
             state.bloom = SeenFilter.build(store, col("id"), keyEstimate)
             state.bloomPaths = snap.entries.map(_.path).toSet
             // sketch now covers the whole snapshot: no delta left
@@ -323,7 +329,8 @@ object IncrementalIngest {
           val dir = log.newDataDir()
           log.readSnapshot(spark, snap).coalesce(targetParts)
             .write.mode(SaveMode.Overwrite).parquet(dir.getPath)
-          val entry = TxEntry(log.relativize(dir), maxBatch)
+          val entry = TxEntry(log.relativize(dir), maxBatch,
+            rows = TxLog.footerRowCount(dir))
           if (log.commitReplace(Seq(entry), snap.version)) {
             if (keepVersions >= 1)
               log.vacuum(keepVersions, orphanGraceMs = vacuumGraceMs,

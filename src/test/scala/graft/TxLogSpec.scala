@@ -939,4 +939,52 @@ class TxLogSpec extends SparkSpecBase {
     assert(w2.read().collect().map(r => (r.getString(0), r.getInt(1)))
       .toSet == Set(("a", 2)))
   }
+
+  test("manifest row counts: every writer stamps them, compaction sum-merges, legacy degrades to None") {
+    val spark2 = spark
+    import spark2.implicits._
+    // plain append: rows == written count, snapshot total follows
+    val log = new TxLog(tmp("txlog-rows"))
+    log.writeAppend((1L to 7L).toDF("id"))
+    log.writeAppend((8L to 10L).toDF("id"))
+    val snap = log.snapshot()
+    assert(snap.entries.map(_.rows).sorted == Vector(3L, 7L))
+    assert(snap.rowCount.contains(10L))
+    // hidden-partitioned append: one count per partition entry
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val weekExpr = date_format(date_trunc("week", col("ts")), "yyyyMMdd")
+    val plog = new TxLog(tmp("txlog-rows-part"))
+    plog.writePartitionedAppend(
+      Seq((1L, ts("2026-01-05 00:00:00")), (2L, ts("2026-01-06 00:00:00")),
+        (3L, ts("2026-01-12 00:00:00"))).toDF("id", "ts"),
+      weekExpr, Seq("ts"))
+    plog.writePartitionedAppend(
+      Seq((4L, ts("2026-01-07 00:00:00"))).toDF("id", "ts"),
+      weekExpr, Seq("ts"))
+    assert(plog.snapshot().rowCount.contains(4L))
+    // partition-scoped compaction merges counts by summation (row-
+    // preserving rewrite), and the total is unchanged
+    assert(plog.compactPartitions(spark, vacuumGraceMs = 0L))
+    val merged = plog.snapshot()
+    assert(merged.rowCount.contains(4L))
+    assert(merged.entries.exists(_.rows == 3L),
+      "the compacted week-1 partition must carry the summed count")
+    // a LEGACY entry (committed before row counts existed) poisons the
+    // total to None — a partial sum must never under-report
+    val legacy = new TxLog(tmp("txlog-rows-legacy"))
+    val dir = legacy.newDataDir()
+    Seq(1L, 2L).toDF("id").write.parquet(dir.getPath)
+    legacy.commitAppend(Seq(TxEntry(legacy.relativize(dir), -1L)))
+    assert(legacy.snapshot().entries.head.rows == -1L)
+    assert(legacy.snapshot().rowCount.isEmpty)
+    legacy.writeAppend(Seq(3L).toDF("id"))
+    assert(legacy.snapshot().rowCount.isEmpty, "one legacy entry taints the sum")
+    // keyed store: physical-row upper bound before compaction, exact after
+    val w = new MergeWriter(spark, tmp("txlog-rows-mw"), Seq("k"))
+    w.upsert(Seq(("a", 1), ("b", 1)).toDF("k", "v"), batchId = 1)
+    w.upsert(Seq(("a", 2)).toDF("k", "v"), batchId = 2)
+    assert(w.txLog.snapshot().rowCount.contains(3L)) // a superseded + a,b live
+    w.compact(vacuumGraceMs = 0L)
+    assert(w.txLog.snapshot().rowCount.contains(2L)) // exact after rewrite
+  }
 }
