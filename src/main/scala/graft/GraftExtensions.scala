@@ -15,11 +15,16 @@ import graft.functions.GraftFunctions
   * entry points (`graft.DedupJob`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functionTable.foreach { case (name, arity, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.Expressions", name),
         GraftFunctions.checked(name, arity, builder)))
     }
+    // statement-level `MERGE INTO TXLOG ...` (delegates everything else
+    // verbatim — see graft.store.TxLogSqlParser)
+    ext.injectParser((_, delegate) =>
+      new graft.store.TxLogSqlParser(delegate))
+  }
 }

@@ -35,7 +35,7 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
     * undefined last-writer-wins tiebreak. Concurrent upserts with
     * distinct batch ids both land (optimistic append commit).
     */
-  def upsert(batch: DataFrame, batchId: Long): Unit = {
+  def upsert(batch: DataFrame, batchId: Long): Long = {
     require(batchId != CompactedEntryTag,
       s"batchId $batchId is reserved for compacted entries")
     // the read path synthesizes these and would silently overwrite and
@@ -58,11 +58,13 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
     // table's other columns (its rows read them as null) — dropping a
     // column is a deliberate DDL (txLog.alterDropColumn), never the
     // side effect of one narrow batch
+    // returns the committed version so SQL/API callers can immediately
+    // pin the snapshot this upsert produced ([[TxLogSql.pinView]])
     log.commitAppend(Seq(TxEntry(log.relativize(dir), batchId,
         rows = TxLog.footerRowCount(dir))),
       replaceBatch = Some(batchId), op = "upsert",
       schemaJson = Some(stamped.schema.json), widenSchema = true,
-      seedLineage = seed): Unit
+      seedLineage = seed)
   }
 
   /** Snapshot read with a read-time `_seq` column = the entry's index

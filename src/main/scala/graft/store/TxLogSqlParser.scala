@@ -1,0 +1,86 @@
+package graft.store
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+
+/** Statement-level MERGE for [[MergeWriter]] stores — the `MERGE INTO`
+  * SQL surface (reference upsert semantics
+  * `db/access/db_result_storage.py:73-107`), paired with the
+  * view-based time travel in [[TxLogSql.pinView]] so a SQL-only
+  * consumer can both write and read-pinned without touching the Scala
+  * API. Executes as a [[LeafRunnableCommand]] — driver-side commit
+  * protocol, distributed batch write — and returns the committed
+  * version as a one-row result, the natural input to a follow-up
+  * `pinView` at exactly that snapshot.
+  */
+final case class MergeIntoTxLogCommand(storePath: String,
+                                       keys: Seq[String],
+                                       batchId: Long,
+                                       source: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    // a bare identifier is a view/table reference; anything else is a
+    // query re-parsed by the SESSION parser (so graft SQL functions and
+    // nested statements all work inside the USING clause)
+    val src =
+      if (source.matches("""[A-Za-z_][A-Za-z0-9_.]*""")) spark.table(source)
+      else spark.sql(source)
+    val version = new MergeWriter(spark, storePath, keys).upsert(src, batchId)
+    Seq(Row(version))
+  }
+}
+
+/** Delegating session parser injected by [[graft.GraftExtensions]]:
+  * recognizes exactly one extra statement,
+  *
+  * {{{
+  *   MERGE INTO TXLOG '<storePath>' KEYS (k1, k2) BATCH <n> USING <source>
+  * }}}
+  *
+  * where `<source>` is a view name or any SELECT (the rest of the
+  * statement text — last clause by construction, so no nested-paren
+  * grammar is needed). Every other string goes verbatim to the
+  * delegate, so the injection can never change the semantics of
+  * standard SQL. This is the Catalyst-idiomatic shape Delta/Iceberg use
+  * for their statement extensions: a thin `ParserInterface` wrapper,
+  * not a fork of the grammar.
+  */
+final class TxLogSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val mergePat =
+    """(?is)\s*MERGE\s+INTO\s+TXLOG\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+BATCH\s+(\d+)\s+USING\s+(.+?)\s*;?\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case mergePat(path, keys, batch, source) =>
+      val ks = keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(ks.nonEmpty, "MERGE INTO TXLOG needs at least one key column")
+      MergeIntoTxLogCommand(path, ks, batch.toLong, source)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}

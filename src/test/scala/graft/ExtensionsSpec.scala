@@ -60,4 +60,51 @@ class ExtensionsSpec extends AnyFunSuite {
       prior.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
     }
   }
+
+  test("SQL MERGE INTO TXLOG: upsert + pinned-version read purely through spark.sql") {
+    val base = SparkSpecBase.session
+    val prior = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = Class.forName("graft.GraftExtensions")
+        .getDeclaredConstructor().newInstance()
+        .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(ext)
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+      assert(s2 ne base)
+      val dir = java.nio.file.Files.createTempDirectory("txlog-sql-merge").toString
+
+      // first batch from a named view, second from an inline SELECT —
+      // both via the injected statement; each returns its committed
+      // version, which feeds VERSION-AS-OF pinning below
+      s2.sql("CREATE OR REPLACE TEMP VIEW merge_src AS " +
+        "SELECT 'a' AS k, 1 AS v UNION ALL SELECT 'b' AS k, 2 AS v")
+      val v0 = s2.sql(
+        s"MERGE INTO TXLOG '$dir' KEYS (k) BATCH 1 USING merge_src")
+        .collect()(0).getLong(0)
+      val v1 = s2.sql(
+        s"MERGE INTO TXLOG '$dir' KEYS (k) BATCH 2 USING SELECT 'b' AS k, 9 AS v")
+        .collect()(0).getLong(0)
+      assert(v1 == v0 + 1)
+
+      graft.store.TxLogSql.pinView(s2, "store_v0", dir, Seq("k"), v0)
+      graft.store.TxLogSql.pinViewLatest(s2, "store_now", dir, Seq("k"))
+      def rows(view: String) = s2.sql(s"SELECT k, v FROM $view")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      assert(rows("store_v0") == Set(("a", 1), ("b", 2)))
+      assert(rows("store_now") == Set(("a", 1), ("b", 9)))
+
+      // a malformed statement falls through to the delegate parser and
+      // fails as ordinary SQL — the injection never shadows real errors
+      intercept[Exception](s2.sql("MERGE INTO TXLOG missing-quotes"))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
+    }
+  }
 }
