@@ -21,7 +21,8 @@ object SweepJob {
 
   final case class Cell(shingleK: Int, threshold: Double, precision: Double,
                         recall: Double, f1: Double, mAP: Double,
-                        mapTrials: Seq[Double], nPairs: Long, wallSec: Double)
+                        mapTrials: Seq[Double], prCurve: Seq[Double],
+                        nPairs: Long, wallSec: Double)
 
   /** Ground-truth pair set at the contract threshold: labeled
     * (variant, original) pairs whose word-3-gram jaccard >= tau
@@ -90,7 +91,12 @@ object SweepJob {
     val mapTrials = (0 until trials).map(t =>
       Metrics.meanAveragePrecision(sampled(ranked, t), sampled(truthBoth, t)))
     val map = mapTrials.sum / mapTrials.size
-    Cell(cfg.shingleK, cfg.threshold, p, r, f1, map, mapTrials, nPairs, wall)
+    // 21-point interpolated PR curve over the full query set, on the
+    // SAME materialized ranked lists (reference protocol: every
+    // get_result call returns (mAP, pr_curve), `benchmarks/utils.py:103`)
+    val curve = Metrics.prCurve(ranked, truthBoth)
+    Cell(cfg.shingleK, cfg.threshold, p, r, f1, map, mapTrials, curve,
+      nPairs, wall)
   }
 
   def main(args: Array[String]): Unit = {
@@ -121,6 +127,7 @@ object SweepJob {
         s""""precision":${c.precision},"recall":${c.recall},"f1":${c.f1},""" +
         s""""mAP":${c.mAP},""" +
         s""""mAP_trials":${c.mapTrials.mkString("[", ",", "]")},""" +
+        s""""pr_curve":${c.prCurve.mkString("[", ",", "]")},""" +
         s""""n_pairs":${c.nPairs},"wall_sec":${c.wallSec}}"""
     }.mkString("[\n  ", ",\n  ", "\n]")
     val best = cells.maxBy(_.f1)

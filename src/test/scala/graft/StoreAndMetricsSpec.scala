@@ -69,6 +69,38 @@ class StoreAndMetricsSpec extends SparkSpecBase {
       s"missed relevants must be penalized, got $m")
   }
 
+  test("PR curve: 21-point interpolated precision, zero-recall queries count, exact grid boundaries hit") {
+    val spark2 = spark
+    import spark2.implicits._
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val ranked = Seq(
+      // q1: hits at ranks 1 and 3 -> prec 1.0 @ recall 0.5 (EXACTLY the
+      // i=10 grid point: 20*1 >= 10*2), prec 2/3 @ recall 1.0
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 11L, 3),
+      // q2: hit at rank 2 -> prec 0.5 @ recall 1.0
+      (2L, 98L, 1), (2L, 20L, 2),
+      // q3: zero recall -> contributes 0 at every level
+      (3L, 97L, 1)
+    ).toDF("query_id", "neighbor_id", "rank")
+    val curve = Metrics.prCurve(ranked, truth)
+    assert(curve.size == 21)
+    assert(curve.head == 1.0, "recall-0 point is pinned at 1.0")
+    // levels 0.05..0.50: mean(1.0, 0.5, 0) = 0.5 — the boundary level
+    // 0.50 must still see q1's rank-1 cut (integer grid comparison)
+    (1 to 10).foreach(i => assert(math.abs(curve(i) - 0.5) < 1e-12,
+      s"level ${i * 0.05}: ${curve(i)}"))
+    // levels 0.55..1.00: mean(2/3, 0.5, 0) = 7/18
+    (11 to 20).foreach(i => assert(math.abs(curve(i) - 7.0 / 18) < 1e-12,
+      s"level ${i * 0.05}: ${curve(i)}"))
+    // protocol shape: bounded and non-increasing along the recall grid
+    curve.foreach(p => assert(p >= 0.0 && p <= 1.0))
+    curve.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b - 1e-12)
+      case _         => ()
+    }
+  }
+
   test("pair precision/recall") {
     val spark2 = spark
     import spark2.implicits._

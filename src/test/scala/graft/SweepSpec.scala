@@ -43,5 +43,22 @@ class SweepSpec extends SparkSpecBase {
     // coincide everywhere)
     assert(cells.exists(c => c.mapTrials.distinct.size > 1),
       "all trials identical in every cell — resampling is a no-op")
+    // PR-curve protocol (loading_utils.py:188-215): every cell carries
+    // a 21-point curve on the monotone recall grid 0.00..1.00, pinned
+    // at 1.0 for recall 0, bounded, and non-increasing in recall
+    cells.foreach { c =>
+      assert(c.prCurve.size == 21, s"expected 21 grid points: $c")
+      assert(c.prCurve.head == 1.0)
+      c.prCurve.foreach(p => assert(p >= 0.0 && p <= 1.0))
+      c.prCurve.sliding(2).foreach {
+        case Seq(a, b) => assert(a >= b - 1e-12,
+          s"curve not monotone non-increasing: $a -> $b in $c")
+        case _ => ()
+      }
+    }
+    // the perfect-contract cell's curve is 1.0 everywhere its recall
+    // reaches — precision 1.0 at every grid level for the default cell
+    assert(defCell.prCurve.forall(p => math.abs(p - 1.0) < 1e-12),
+      s"perfect P/R cell must have an all-1.0 curve: ${defCell.prCurve}")
   }
 }
