@@ -940,6 +940,108 @@ class TxLogSpec extends SparkSpecBase {
       .toSet == Set(("a", 2)))
   }
 
+  test("crash-injection matrix: table readable + correct at every kill point; vacuum + next writer heal") {
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val weekExpr = date_format(date_trunc("week", col("ts")), "yyyyMMdd")
+
+    // Every scenario kills a writer protocol at a named step. Each
+    // simulated crash state is built from PUBLIC-API prefixes of the
+    // real protocol (stage = the writer's own parquet write into
+    // newDataDir, replace-no-vacuum = the real replace commit with the
+    // vacuum suppressed), so the injected state is exactly what a kill
+    // at that step leaves on disk. Invariants checked at every point:
+    // (1) reads serve the last committed snapshot, (2) vacuum heals the
+    // debris without disturbing it, (3) the next writer lands normally.
+    def freshLog(name: String): TxLog = {
+      val log = new TxLog(tmp(s"txlog-kill-$name"))
+      log.writePartitionedAppend(
+        Seq((1L, ts("2026-01-05 00:00:00")), (2L, ts("2026-01-12 00:00:00")))
+          .toDF("id", "ts"), weekExpr, Seq("id"))
+      log.writePartitionedAppend(
+        Seq((3L, ts("2026-01-06 00:00:00"))).toDF("id", "ts"),
+        weekExpr, Seq("id"))
+      log
+    }
+    def liveIds(log: TxLog): Set[Long] =
+      log.read(spark).get.select("id").collect().map(_.getLong(0)).toSet
+
+    val scenarios: Seq[(String, TxLog => Set[Long])] = Seq(
+      "append killed between stage and publish (orphan dir)" -> { log =>
+        val d = log.newDataDir()
+        Seq((9L, ts("2026-02-02 00:00:00"))).toDF("id", "ts")
+          .write.parquet(d.getPath)
+        Set.empty
+      },
+      "append killed mid-stage (torn parquet file + _temporary dir)" -> { log =>
+        val d = log.newDataDir()
+        Seq((9L, ts("2026-02-02 00:00:00"))).toDF("id", "ts")
+          .write.parquet(d.getPath)
+        val f = d.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val bytes = Files.readAllBytes(f.toPath)
+        Files.write(f.toPath, bytes.take(bytes.length / 2))
+        Files.createDirectories(new File(d, "_temporary/0").toPath)
+        Set.empty
+      },
+      "partitioned append killed before publish (subdirs + sidecar staged)" -> { log =>
+        val d = log.newDataDir()
+        Seq((9L, ts("2026-02-02 00:00:00"))).toDF("id", "ts")
+          .withColumn("_part", weekExpr.cast("string"))
+          .write.partitionBy("_part").parquet(d.getPath)
+        val part = d.listFiles().filter(_.getName.startsWith("_part=")).head
+        Files.write(new File(part, "_bloom_id.bin").toPath,
+          Array[Byte](1, 2, 3)) // half-staged sidecar
+        Set.empty
+      },
+      "publisher killed mid-manifest-write (torn tmp in _log)" -> { log =>
+        Files.write(new File(log.root, "_log/.tmp-torn").toPath,
+          """{"version":7,"op":"appe""".getBytes("UTF-8"))
+        Set.empty
+      },
+      "compaction killed between publish and vacuum (superseded files linger)" -> { log =>
+        assert(log.compactPartitions(spark, keepVersions = 0))
+        Set.empty
+      },
+      "replace loser killed before staged cleanup (alter/compact CAS retry)" -> { log =>
+        val v = log.currentVersion()
+        log.writeAppend( // the competing writer that wins the CAS
+          Seq((50L, ts("2026-02-09 00:00:00"))).toDF("id", "ts"))
+        val d = log.newDataDir()
+        Seq((99L, ts("2026-02-02 00:00:00"))).toDF("id", "ts")
+          .write.parquet(d.getPath)
+        assert(!log.commitReplace(Seq(TxEntry(log.relativize(d), -1L)), v),
+          "stale replace must lose the CAS")
+        Set(50L) // staged dir 99 is debris; the competing append is live
+      },
+      "vacuum killed mid-sweep (some superseded files gone, some left)" -> { log =>
+        assert(log.compactPartitions(spark, keepVersions = 0))
+        val live = log.snapshot().entries.map(_.path).toSet
+        val dataRoot = new File(log.root, "data")
+        val superseded = dataRoot.listFiles().filter(d =>
+          !live.exists(_.startsWith(s"data/${d.getName}")))
+        assert(superseded.nonEmpty, "compaction must supersede a directory")
+        TxLog.deleteRecursively(superseded.head) // partial data sweep
+        val manifests = new File(log.root, "_log").listFiles()
+          .filter(_.getName.matches("""v\d{12}\.json""")).sortBy(_.getName)
+        assert(manifests.length > 1)
+        manifests.head.delete(): Unit // partial manifest sweep
+        Set.empty
+      })
+
+    scenarios.foreach { case (name, inject) =>
+      val log = freshLog(name.takeWhile(_ != ' '))
+      val extra = inject(log)
+      val expected = Set(1L, 2L, 3L) ++ extra
+      assert(liveIds(log) == expected, s"[$name] post-crash read")
+      log.vacuum(keepVersions = 1, orphanGraceMs = 0L)
+      assert(liveIds(log) == expected, s"[$name] post-vacuum read")
+      log.writeAppend(
+        Seq((100L, ts("2026-03-02 00:00:00"))).toDF("id", "ts"))
+      assert(liveIds(log) == expected + 100L, s"[$name] next writer")
+    }
+  }
+
   test("manifest row counts: every writer stamps them, compaction sum-merges, legacy degrades to None") {
     val spark2 = spark
     import spark2.implicits._
