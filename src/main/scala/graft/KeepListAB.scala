@@ -49,15 +49,9 @@ object KeepListAB {
 
     val docs0 = mode match {
       case "corpus" =>
-        val nBase = args.lift(1).map(_.toInt).getOrElse(150000)
-        val corpusDir = s"/tmp/graft_scaling_corpus_$nBase"
-        if (!new java.io.File(corpusDir).exists()) {
-          val (pages, _) = graft.corpus.SynthCorpus.generate(spark,
-            seed = 123L, nBase = nBase, dupRate = 0.2)
-          pages.drop("html").repartition(64)
-            .write.mode("overwrite").parquet(corpusDir)
-        }
-        Dedup.fromPages(spark.read.parquet(corpusDir))
+        val nBase = args.lift(1).map(_.toInt).getOrElse(500000) // 700,894 pages
+        Dedup.fromPages(spark.read.parquet(
+          graft.corpus.SynthCorpus.ensureScalingCorpus(spark, nBase)))
       case _ =>
         val dir = sys.env("SPARK_GRAFT_SF_DIR")
         Dedup.fromDocuments(spark.read.parquet(s"$dir/documents.parquet"))

@@ -27,18 +27,11 @@ object ScalingBench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
     val small = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
     val big = 4 * small
-    val corpusDir = s"/tmp/graft_scaling_corpus_$nBase"
     val cfg = DedupConfig()
 
-    locally {
+    val corpusDir = locally {
       val s = session(big)
-      if (!new java.io.File(corpusDir).exists()) {
-        val (pages, _) = SynthCorpus.generate(s, seed = 123L, nBase = nBase,
-          dupRate = 0.2)
-        pages.drop("html").repartition(64)
-          .write.mode("overwrite").parquet(corpusDir)
-      }
-      s.stop()
+      try SynthCorpus.ensureScalingCorpus(s, nBase) finally s.stop()
     }
 
     def probe(s: SparkSession, n: Int): Double = {

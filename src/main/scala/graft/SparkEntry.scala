@@ -62,7 +62,7 @@ object SparkEntry {
     // must still invalidate the cached table. Duplicate-sensitive SUM
     // fold (not bit_xor, where identical rows cancel out).
     def fp(df: DataFrame): (Long, Long) =
-      graft.functions.IvfCentroidStore.contentFingerprint(df,
+      graft.store.TxLog.contentFingerprint(df,
         Seq("event_id", "ts", "user_id", "event_type", "value", "props")
           .map(col))
     val want = fp(ev)

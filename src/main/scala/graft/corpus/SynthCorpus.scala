@@ -192,6 +192,25 @@ object SynthCorpus {
     (pages, labels)
   }
 
+  /** The ONE cached benchmark-corpus builder shared by every timing
+    * main (`ScalingBench`, `KeepListAB`): seed-123, dupRate 0.2 pages
+    * (html dropped — the timed pipelines read text) persisted once per
+    * `nBase` under /tmp and reused across sessions. Centralized so two
+    * tools can never A/B against corpora generated with silently
+    * diverged parameters, and so the exists-then-write window lives in
+    * one place. Returns the corpus directory.
+    */
+  def ensureScalingCorpus(spark: SparkSession, nBase: Int): String = {
+    val corpusDir = s"/tmp/graft_scaling_corpus_$nBase"
+    if (!new java.io.File(corpusDir).exists()) {
+      val (pages, _) = generate(spark, seed = 123L, nBase = nBase,
+        dupRate = 0.2)
+      pages.drop("html").repartition(64)
+        .write.mode("overwrite").parquet(corpusDir)
+    }
+    corpusDir
+  }
+
   /** Word-3-gram jaccard used for label edit rates (driver-side). */
   def jaccardWords(a: String, b: String, k: Int = 3): Double = {
     def sh(s: String) = s.split(" ").sliding(k).filter(_.length == k)

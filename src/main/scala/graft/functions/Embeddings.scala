@@ -542,25 +542,7 @@ object IvfCentroidStore {
     * data. xxhash64 folds the full array value.
     */
   private def fingerprint(emb: DataFrame): (Long, Long) =
-    contentFingerprint(emb, Seq(col("id"), col("embedding")))
-
-  /** Order-independent but DUPLICATE-SENSITIVE content fingerprint:
-    * wrap-around sum (mod 2^64) of the row content hash. Unlike a
-    * bit_xor fold, identical rows cannot cancel, so no multiset change
-    * preserves the fold short of an xxhash64 collision. The sum runs in
-    * decimal(38,0) (exact up to ~10^19 rows, overflow-free under ANSI);
-    * the stored/compared value is its low 64 bits.
-    */
-  private[graft] def contentFingerprint(df: DataFrame,
-                                        cols: Seq[org.apache.spark.sql.Column])
-      : (Long, Long) = {
-    val r = df.agg(count(lit(1)),
-      sum(xxhash64(cols: _*)
-        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head
-    val h = if (r.isNullAt(1)) 0L
-            else r.getDecimal(1).toBigInteger.longValue()
-    (r.getLong(0), h)
-  }
+    TxLog.contentFingerprint(emb, Seq(col("id"), col("embedding")))
 
   /** Centroids for `(storeDir, tag)`: memo hit, else committed store
     * read (fingerprint-validated), else train + atomic publish.

@@ -1140,6 +1140,28 @@ object TxLog {
     f.delete(): Unit
   }
 
+  /** Order-independent but DUPLICATE-SENSITIVE content fingerprint of a
+    * DataFrame over `cols`: (row count, wrap-around sum mod 2^64 of the
+    * per-row xxhash64). Unlike a bit_xor fold, identical rows cannot
+    * cancel, so no multiset change preserves the fold short of an
+    * xxhash64 collision. The sum runs in decimal(38,0) (exact up to
+    * ~10^19 rows, overflow-free under ANSI); the stored/compared value
+    * is its low 64 bits. The staleness-guard primitive shared by
+    * derived-data caches ([[graft.functions.IvfCentroidStore]],
+    * `SparkEntry.eventsTxLog`).
+    */
+  def contentFingerprint(df: DataFrame,
+                         cols: Seq[org.apache.spark.sql.Column])
+      : (Long, Long) = {
+    import org.apache.spark.sql.functions.{count, lit, sum, xxhash64}
+    val r = df.agg(count(lit(1)),
+      sum(xxhash64(cols: _*)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+    val h = if (r.isNullAt(1)) 0L
+            else r.getDecimal(1).toBigInteger.longValue()
+    (r.getLong(0), h)
+  }
+
   /** Row count of a just-written data directory, summed from parquet
     * FOOTER metadata driver-side — no Spark job, no data pages (the
     * Iceberg `record_count` is stamped the same way, from file

@@ -57,15 +57,41 @@ final case class MergeIntoTxLogCommand(storePath: String,
 final class TxLogSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val mergePat =
-    """(?is)\s*MERGE\s+INTO\s+TXLOG\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+BATCH\s+(\d+)\s+USING\s+(.+?)\s*;?\s*""".r
+    """(?is)MERGE\s+INTO\s+TXLOG\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+BATCH\s+(\d+)\s+USING\s+(.+?)\s*;?\s*""".r
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case mergePat(path, keys, batch, source) =>
-      val ks = keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      require(ks.nonEmpty, "MERGE INTO TXLOG needs at least one key column")
-      MergeIntoTxLogCommand(path, ks, batch.toLong, source)
-    case _ => delegate.parsePlan(sqlText)
+  /** Leading whitespace, `--` line comments and (unnested) bracketed
+    * comments removed before recognition — real SQL lexers strip these,
+    * so a commented `MERGE INTO TXLOG` must still match. Only the
+    * RECOGNITION input is stripped: a non-matching statement goes to
+    * the delegate byte-for-byte (an unterminated or nested comment
+    * simply fails to match here and fails in the delegate as ordinary
+    * SQL would).
+    */
+  @scala.annotation.tailrec
+  private def stripLeadingComments(s: String): String = {
+    val t = s.dropWhile(_.isWhitespace)
+    if (t.startsWith("--"))
+      stripLeadingComments(t.dropWhile(c => c != '\n' && c != '\r'))
+    else if (t.startsWith("/*")) {
+      val end = t.indexOf("*/", 2)
+      if (end < 0) t else stripLeadingComments(t.substring(end + 2))
+    } else t
   }
+
+  private def unquote(k: String): String =
+    if (k.length > 1 && k.startsWith("`") && k.endsWith("`"))
+      k.substring(1, k.length - 1)
+    else k
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    stripLeadingComments(sqlText) match {
+      case mergePat(path, keys, batch, source) =>
+        val ks = keys.split(",").map(k => unquote(k.trim))
+          .filter(_.nonEmpty).toSeq
+        require(ks.nonEmpty, "MERGE INTO TXLOG needs at least one key column")
+        MergeIntoTxLogCommand(path, ks, batch.toLong, source)
+      case _ => delegate.parsePlan(sqlText)
+    }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

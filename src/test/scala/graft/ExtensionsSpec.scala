@@ -91,12 +91,20 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect()(0).getLong(0)
       assert(v1 == v0 + 1)
 
+      // SQL lexer realities: leading comments and backquoted key names
+      // must not knock the statement through to the delegate parser
+      val v2 = s2.sql(
+        "-- nightly upsert\n/* batch 3 */\n" +
+          s"MERGE INTO TXLOG '$dir' KEYS (`k`) BATCH 3 USING SELECT 'c' AS k, 7 AS v")
+        .collect()(0).getLong(0)
+      assert(v2 == v1 + 1)
+
       graft.store.TxLogSql.pinView(s2, "store_v0", dir, Seq("k"), v0)
       graft.store.TxLogSql.pinViewLatest(s2, "store_now", dir, Seq("k"))
       def rows(view: String) = s2.sql(s"SELECT k, v FROM $view")
         .collect().map(r => (r.getString(0), r.getInt(1))).toSet
       assert(rows("store_v0") == Set(("a", 1), ("b", 2)))
-      assert(rows("store_now") == Set(("a", 1), ("b", 9)))
+      assert(rows("store_now") == Set(("a", 1), ("b", 9), ("c", 7)))
 
       // a malformed statement falls through to the delegate parser and
       // fails as ordinary SQL — the injection never shadows real errors

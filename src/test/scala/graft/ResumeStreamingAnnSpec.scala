@@ -587,7 +587,7 @@ class ResumeStreamingAnnSpec extends SparkSpecBase {
     val c1 = corpus(0)
     val c2 = corpus(100)
     val fp = (df: org.apache.spark.sql.DataFrame) =>
-      IvfCentroidStore.contentFingerprint(df,
+      graft.store.TxLog.contentFingerprint(df,
         Seq(col("id"), col("embedding")))
     assert(fp(c1)._1 == fp(c2)._1, "counts tie by construction")
     assert(fp(c1)._2 != fp(c2)._2, "sum fold must distinguish the multisets")
