@@ -321,11 +321,11 @@ final class TxLog(val root: String) {
     * (version, op, entry count) — the `DESCRIBE HISTORY` analog.
     * Vacuumed-past versions are simply absent.
     */
-  def history(): Seq[(Long, String, Int)] =
+  def history(): Seq[(Long, String, Int, Option[Long])] =
     listManifests().map { case (v, f) =>
       val text = new String(Files.readAllBytes(f.toPath), UTF_8)
       val (snap, op) = parseManifestWithOp(text) // same strictness as reads
-      (v, op, snap.entries.size)
+      (v, op, snap.entries.size, snap.rowCount)
     }.toSeq
 
   /** Latest table contents, or None when the table is genuinely empty

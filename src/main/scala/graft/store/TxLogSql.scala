@@ -42,10 +42,13 @@ object TxLogSql {
   }
 
   /** Commit history of a raw TxLog table root as a DataFrame
-    * (version, op, n_entries) — the `DESCRIBE HISTORY` analog.
+    * (version, op, n_entries, n_rows) — the `DESCRIBE HISTORY` analog;
+    * `n_rows` is the manifest-recorded total at that version (null when
+    * any entry predates row counts).
     */
   def history(spark: SparkSession, tableRoot: String): DataFrame = {
     import spark.implicits._
-    new TxLog(tableRoot).history().toDF("version", "op", "n_entries")
+    new TxLog(tableRoot).history()
+      .toDF("version", "op", "n_entries", "n_rows")
   }
 }

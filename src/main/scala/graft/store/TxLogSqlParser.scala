@@ -39,25 +39,79 @@ final case class MergeIntoTxLogCommand(storePath: String,
   }
 }
 
+/** Pin a store snapshot under a temp view from SQL — `VERSION AS OF`
+  * without a Scala call ([[TxLogSql.pinView]] is the API flavor).
+  * Returns the pinned version, so `PIN ... AS v` + `SELECT ... FROM v`
+  * is a complete SQL-only time-travel read.
+  */
+final case class PinTxLogViewCommand(storePath: String,
+                                     keys: Seq[String],
+                                     view: String,
+                                     version: Option[Long])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = version.getOrElse {
+      val cur = new MergeWriter(spark, storePath, keys).txLog.currentVersion()
+      require(cur >= 0, s"store at $storePath has no committed version to pin")
+      cur
+    }
+    TxLogSql.pinView(spark, view, storePath, keys, v)
+    Seq(Row(v))
+  }
+}
+
+/** Commit history of a raw TxLog table root from SQL — the
+  * `DESCRIBE HISTORY` analog ([[TxLogSql.history]] is the API flavor).
+  */
+final case class DescribeTxLogCommand(tableRoot: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("op", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("n_entries", org.apache.spark.sql.types.IntegerType,
+      nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    new TxLog(tableRoot).history().map { case (v, op, n, rows) =>
+      Row(v, op, n, rows.map(java.lang.Long.valueOf).orNull)
+    }
+}
+
 /** Delegating session parser injected by [[graft.GraftExtensions]]:
-  * recognizes exactly one extra statement,
+  * recognizes exactly three extra statements,
   *
   * {{{
   *   MERGE INTO TXLOG '<storePath>' KEYS (k1, k2) BATCH <n> USING <source>
+  *   PIN TXLOG '<storePath>' KEYS (k1, k2) AS <view> [VERSION AS OF <n>]
+  *   DESCRIBE TXLOG '<tableRoot>'
   * }}}
   *
   * where `<source>` is a view name or any SELECT (the rest of the
   * statement text — last clause by construction, so no nested-paren
-  * grammar is needed). Every other string goes verbatim to the
-  * delegate, so the injection can never change the semantics of
-  * standard SQL. This is the Catalyst-idiomatic shape Delta/Iceberg use
-  * for their statement extensions: a thin `ParserInterface` wrapper,
-  * not a fork of the grammar.
+  * grammar is needed). Together they make a [[MergeWriter]] store fully
+  * drivable from SQL alone: upsert (returns the committed version), pin
+  * any retained version as a queryable view, and inspect the commit
+  * log. Every other string goes verbatim to the delegate, so the
+  * injection can never change the semantics of standard SQL. This is
+  * the Catalyst-idiomatic shape Delta/Iceberg use for their statement
+  * extensions: a thin `ParserInterface` wrapper, not a fork of the
+  * grammar.
   */
 final class TxLogSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val mergePat =
     """(?is)MERGE\s+INTO\s+TXLOG\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+BATCH\s+(\d+)\s+USING\s+(.+?)\s*;?\s*""".r
+  private val pinPat =
+    """(?is)PIN\s+TXLOG\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val describePat =
+    """(?is)DESCRIBE\s+TXLOG\s+'([^']+)'\s*;?\s*""".r
 
   /** Leading whitespace, `--` line comments and (unnested) bracketed
     * comments removed before recognition — real SQL lexers strip these,
@@ -83,13 +137,23 @@ final class TxLogSqlParser(delegate: ParserInterface) extends ParserInterface {
       k.substring(1, k.length - 1)
     else k
 
+  private def keyList(keys: String, stmt: String): Seq[String] = {
+    val ks = keys.split(",").map(k => unquote(k.trim))
+      .filter(_.nonEmpty).toSeq
+    require(ks.nonEmpty, s"$stmt needs at least one key column")
+    ks
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan =
     stripLeadingComments(sqlText) match {
       case mergePat(path, keys, batch, source) =>
-        val ks = keys.split(",").map(k => unquote(k.trim))
-          .filter(_.nonEmpty).toSeq
-        require(ks.nonEmpty, "MERGE INTO TXLOG needs at least one key column")
-        MergeIntoTxLogCommand(path, ks, batch.toLong, source)
+        MergeIntoTxLogCommand(path, keyList(keys, "MERGE INTO TXLOG"),
+          batch.toLong, source)
+      case pinPat(path, keys, view, version) =>
+        PinTxLogViewCommand(path, keyList(keys, "PIN TXLOG"), view,
+          Option(version).map(_.toLong))
+      case describePat(root) =>
+        DescribeTxLogCommand(root)
       case _ => delegate.parsePlan(sqlText)
     }
 

@@ -99,12 +99,22 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect()(0).getLong(0)
       assert(v2 == v1 + 1)
 
-      graft.store.TxLogSql.pinView(s2, "store_v0", dir, Seq("k"), v0)
-      graft.store.TxLogSql.pinViewLatest(s2, "store_now", dir, Seq("k"))
+      // time travel + history WITHOUT any Scala call: PIN pins a
+      // version (or latest) as a temp view, DESCRIBE lists the commits
+      assert(s2.sql(s"PIN TXLOG '$dir' KEYS (k) AS store_v0 VERSION AS OF $v0")
+        .collect()(0).getLong(0) == v0)
+      assert(s2.sql(s"PIN TXLOG '$dir' KEYS (k) AS store_now")
+        .collect()(0).getLong(0) == v2)
       def rows(view: String) = s2.sql(s"SELECT k, v FROM $view")
         .collect().map(r => (r.getString(0), r.getInt(1))).toSet
       assert(rows("store_v0") == Set(("a", 1), ("b", 2)))
       assert(rows("store_now") == Set(("a", 1), ("b", 9), ("c", 7)))
+      val hist = s2.sql(s"DESCRIBE TXLOG '$dir/table'").collect()
+      assert(hist.length == 3)
+      assert(hist.forall(_.getString(1) == "upsert"))
+      // n_rows = manifest-recorded physical rows at each version
+      assert(hist.map(r => (r.getLong(0), r.getLong(3))).toSeq ==
+        Seq((v0, 2L), (v1, 3L), (v2, 4L)))
 
       // a malformed statement falls through to the delegate parser and
       // fails as ordinary SQL — the injection never shadows real errors
