@@ -19,7 +19,9 @@ import graft.pipeline.{Dedup, DedupConfig}
   *    parallel program cannot reach 4x here. `efficiency_normalized`
   *    divides the pipeline's speedup by the hardware ceiling — the
   *    number that predicts real multi-executor scaling, where executors
-  *    do not share cores.
+  *    do not share cores. The probe BRACKETS each level's reps (pre +
+  *    post, min taken) so late-arriving co-tenant load cannot depress
+  *    the ceiling reading the way a single post-reps probe did.
   */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
@@ -44,25 +46,39 @@ object ScalingBench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    def timed(n: Int): (Double, Seq[Double], Double, Long) = {
+    // The probe brackets each level's reps (once BEFORE the warmup, once
+    // AFTER the last rep) and the level's probe time is the MIN of the
+    // two — the machine's best demonstrated capability in that level's
+    // window. A single post-reps probe under-reads when co-tenant load
+    // arrives late in a session (it depressed the probe while leaving
+    // the fast reps intact in sessions 10/11/16/17 — see BASELINE.md),
+    // which shows up as impossible normalized readings > 1. The
+    // post-only speedup is still reported (`hw_probe_speedup_post`) so
+    // the cross-round series stays comparable.
+    def timed(n: Int): (Double, Seq[Double], Double, Double, Long) = {
       val s = session(n)
       try {
         val docs = Dedup.fromPages(s.read.parquet(corpusDir))
         val nDocs = docs.count()
+        val probePre = probe(s, n)
         Dedup.clusters(Dedup.pairsMaterialized(docs.limit(2000), cfg)).count() // warmup
         val ts = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           Dedup.clusters(Dedup.pairsMaterialized(docs, cfg)).count()
           (System.nanoTime() - t0) / 1e9
         }
-        (ts.min, ts, probe(s, n), nDocs)
+        (ts.min, ts, probePre, probe(s, n), nDocs)
       } finally s.stop()
     }
 
-    val (tSmall, repsSmall, probeSmall, nDocs) = timed(small)
-    val (tBig, repsBig, probeBig, _) = timed(big)
+    val (tSmall, repsSmall, probePreSmall, probePostSmall, nDocs) = timed(small)
+    val (tBig, repsBig, probePreBig, probePostBig, _) = timed(big)
     val speedup = tSmall / tBig
-    val hwCeiling = probeSmall / probeBig // machine's own N->4N speedup
+    // machine's own N->4N speedup, from each level's best probe instant
+    val hwCeiling =
+      math.min(probePreSmall, probePostSmall) /
+        math.min(probePreBig, probePostBig)
+    val hwCeilingPost = probePostSmall / probePostBig // legacy protocol
     val effRaw = speedup / (big.toDouble / small)
     val effNorm = speedup / hwCeiling
     def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
@@ -71,7 +87,11 @@ object ScalingBench {
         s""""t_local_$small":$tSmall,"t_local_$big":$tBig,""" +
         s""""reps_local_$small":${arr(repsSmall)},"reps_local_$big":${arr(repsBig)},""" +
         s""""docs_per_sec_local_$small":${nDocs / tSmall},"docs_per_sec_local_$big":${nDocs / tBig},""" +
-        s""""hw_probe_speedup":$hwCeiling,"efficiency_normalized":$effNorm}""")
+        s""""probe_secs_local_$small":${arr(Seq(probePreSmall, probePostSmall))},""" +
+        s""""probe_secs_local_$big":${arr(Seq(probePreBig, probePostBig))},""" +
+        s""""hw_probe_speedup":$hwCeiling,"hw_probe_speedup_post":$hwCeilingPost,""" +
+        s""""efficiency_normalized":$effNorm,""" +
+        s""""efficiency_normalized_post":${speedup / hwCeilingPost}}""")
   }
 
   private def session(n: Int): SparkSession = {
