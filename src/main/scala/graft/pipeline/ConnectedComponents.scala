@@ -49,16 +49,16 @@ object ConnectedComponents {
 
     var iter = 0
     var converged = false
-    // convergence fingerprint: (row count, order-free xor-ish hash sum).
+    // convergence fingerprint: (row count, order-free content hash).
     // Labels only decrease monotonically, so an unchanged fingerprint
     // means an unchanged edge set (collision prob ~2^-64); one tiny
-    // aggregate per round instead of two except() jobs.
-    def fingerprint(df: DataFrame): (Long, Long) = {
-      val r = df.agg(
-        count(lit(1)),
-        expr("bit_xor(xxhash64(u, v))")).head() // xor: order-free, no ANSI overflow
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
+    // aggregate per round instead of two except() jobs. Uses the shared
+    // duplicate-sensitive primitive (wrap-around hash sum) rather than a
+    // bit_xor fold — the `.distinct()` on every round's output makes
+    // even-multiset XOR cancellation impossible here, but the sum fold
+    // holds without that precondition being load-bearing.
+    def fingerprint(df: DataFrame): (Long, Long) =
+      graft.store.TxLog.contentFingerprint(df, Seq(col("u"), col("v")))
     var fp = fingerprint(e)
     while (!converged && iter < maxIterations) {
       // large-star: for each node u, connect every strictly-larger
