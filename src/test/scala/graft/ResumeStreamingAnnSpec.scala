@@ -97,6 +97,42 @@ class ResumeStreamingAnnSpec extends SparkSpecBase {
     assert(s8.select("id").distinct().count() == n)
   }
 
+  test("wave-granular signatures stage: one durable checkpoint commit per wave, table identical to single-pass") {
+    val docs = Dedup.fromDocuments(
+      spark.read.parquet(s"$sfDir/documents.parquet")).limit(60)
+    val waveDir = tmpDir("graft-wave")
+    val oneDir = tmpDir("graft-onepass")
+    val buckets = 4
+
+    val sWave = ResumableDedupJob.signaturesStage(
+      docs, cfg, waveDir, buckets, waveBuckets = 1)
+    val sOne = ResumableDedupJob.signaturesStage(docs, cfg, oneDir, buckets)
+
+    // intra-run durability: each wave committed separately — a crash
+    // between waves loses at most one wave (4 buckets / wave size 1 =
+    // 4 append commits in the checkpoint log, vs 1 for the single pass)
+    val waveCommits = new graft.store.TxLog(s"$waveDir/checkpoints").history()
+    val oneCommits = new graft.store.TxLog(s"$oneDir/checkpoints").history()
+    assert(waveCommits.size == buckets,
+      s"expected one checkpoint commit per wave, got ${waveCommits.size}")
+    assert(oneCommits.size == 1)
+    val store = new CheckpointStore(spark, waveDir)
+    assert(store.completedBuckets("signatures", s"${cfg.configTag}-b$buckets")
+      == (0 until buckets).toSet)
+
+    // the produced signature table is identical to the single-pass one
+    assert(sWave.count() == docs.count() && sOne.count() == docs.count())
+    val mismatches = sWave.as("a").join(sOne.as("b"), "id")
+      .where(!(col("a.sig") === col("b.sig")) ||
+        !(col("a.simhash") === col("b.simhash")))
+      .count()
+    assert(mismatches == 0, "wave-computed signatures must be bit-identical")
+
+    // re-entry is a no-op: nothing missing, no new commits
+    ResumableDedupJob.signaturesStage(docs, cfg, waveDir, buckets, waveBuckets = 1)
+    assert(new graft.store.TxLog(s"$waveDir/checkpoints").history().size == buckets)
+  }
+
   test("intra-batch duplicate/null ids are hygienized before any store write; matchEvery guard") {
     val spark2 = spark
     import spark2.implicits._
