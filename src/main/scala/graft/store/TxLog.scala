@@ -287,6 +287,19 @@ final class TxLog(val root: String) {
         .entries.map(_.path)
     }.toSet
     val cutoff = System.currentTimeMillis() - orphanGraceMs
+    // orphan age = the NEWEST mtime anywhere in the candidate's tree,
+    // not the directory's own: a staged-but-uncommitted Spark write
+    // only touches paths deep under `_temporary/` until job commit, so
+    // the top directory's mtime freezes at job START — a stage running
+    // longer than the grace window (routine at 100-TB table size) would
+    // read as an old orphan and be deleted mid-write. The walk is paid
+    // only on directories already unreferenced by every kept manifest
+    // (deletion candidates), never on live data.
+    def newestMtime(f: File): Long =
+      if (f.isDirectory)
+        (f.lastModified() +:
+          Option(f.listFiles()).getOrElse(Array.empty).map(newestMtime).toSeq).max
+      else f.lastModified()
     Option(dataRoot.listFiles()).getOrElse(Array.empty).foreach { d =>
       val rel = relativize(d)
       // a dir is live if any kept manifest references it directly OR
@@ -294,7 +307,7 @@ final class TxLog(val root: String) {
       // commits data/<uuid>/_part=v entries)
       val direct = referenced.contains(rel)
       val viaSub = referenced.exists(_.startsWith(rel + "/"))
-      if (!direct && !viaSub && d.lastModified() < cutoff)
+      if (!direct && !viaSub && newestMtime(d) < cutoff)
         deleteRecursively(d)
       else if (!direct && viaSub) {
         // partition-granular reclaim: a compaction that superseded
@@ -305,7 +318,7 @@ final class TxLog(val root: String) {
         Option(d.listFiles()).getOrElse(Array.empty)
           .filter(s => s.isDirectory && s.getName.startsWith("_part=") &&
             !referenced.contains(s"$rel/${s.getName}") &&
-            s.lastModified() < cutoff)
+            newestMtime(s) < cutoff)
           .foreach(deleteRecursively)
       }
     }

@@ -108,6 +108,44 @@ class TxLogSpec extends SparkSpecBase {
     assert(w.read().collect().map(r => (r.getString(0), r.getInt(1))).toSet == before)
   }
 
+  test("vacuum orphan age is the tree's newest mtime: an in-flight staged write past the grace window survives") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp("txlog-stagedage")
+    val w = new MergeWriter(spark, dir, Seq("k"))
+    w.upsert(Seq(("a", 1)).toDF("k", "v"), batchId = 1)
+
+    // simulate a long-running Spark stage: the job writes only under
+    // _temporary/ until job commit, so every path the OS timestamps at
+    // write time is DEEP in the tree — the top-level dir mtime froze at
+    // job start, which here is backdated past the grace window
+    val staged = w.txLog.newDataDir()
+    val taskDir = new File(staged, "_temporary/0/_temporary/attempt_1/")
+    assert(taskDir.mkdirs())
+    Files.write(new File(taskDir, "part-00000.parquet").toPath,
+      Array[Byte](1, 2, 3)) // fresh mtime: the stage is actively writing
+    val old = System.currentTimeMillis() - 3600L * 1000
+    assert(staged.setLastModified(old))
+    assert(new File(staged, "_temporary").setLastModified(old))
+    assert(new File(staged, "_temporary/0").setLastModified(old))
+
+    w.txLog.vacuum(keepVersions = 1, orphanGraceMs = 60000L)
+    assert(staged.exists(),
+      "vacuum deleted a staged directory whose stage is still writing " +
+        "(top-level mtime is stale during a long Spark write)")
+
+    // the converse: once the WHOLE tree is older than the grace window
+    // it is a genuine crash orphan and is reclaimed
+    def backdate(f: File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(backdate)
+      f.setLastModified(old): Unit
+    }
+    backdate(staged)
+    w.txLog.vacuum(keepVersions = 1, orphanGraceMs = 60000L)
+    assert(!staged.exists(), "all-old crash orphan survived vacuum")
+  }
+
   test("retried upsert of the latest batch after compaction does not wipe the table") {
     val spark2 = spark
     import spark2.implicits._
