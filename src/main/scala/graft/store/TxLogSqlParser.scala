@@ -64,6 +64,64 @@ final case class PinTxLogViewCommand(storePath: String,
   }
 }
 
+/** Expire table history from SQL — the `VACUUM` statement analog over
+  * a raw TxLog table root ([[TxLog.vacuum]] is the API flavor; same
+  * retention contract: keep the last `keepVersions` manifests plus
+  * everything younger than `retainMs`, reclaim only unreferenced data
+  * older than the `orphanGraceMs` staging-protection window). Returns
+  * the number of manifest versions still retained after the vacuum.
+  */
+final case class VacuumTxLogCommand(tableRoot: String,
+                                    keepVersions: Int,
+                                    retainMs: Long,
+                                    orphanGraceMs: Long)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("retained_versions", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val log = new TxLog(tableRoot)
+    log.vacuum(keepVersions, orphanGraceMs = orphanGraceMs,
+      retainMs = retainMs)
+    Seq(Row(log.history().size.toLong))
+  }
+}
+
+/** Small-files compaction from SQL. With a KEYS clause the target is a
+  * [[MergeWriter]] store and compaction collapses upsert history under
+  * last-writer-wins ([[MergeWriter.compact]]); without KEYS the target
+  * is a raw hidden-partitioned table root and compaction rewrites only
+  * partitions holding >= `minEntries` live entries
+  * ([[TxLog.compactPartitions]]). `keepVersions` governs post-compaction
+  * retention exactly as in the API (0 = skip the vacuum, caller owns
+  * retention). Returns the table's current version after the call.
+  */
+final case class CompactTxLogCommand(path: String,
+                                     keys: Seq[String],
+                                     keepVersions: Int,
+                                     minEntries: Int)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val log =
+      if (keys.nonEmpty) {
+        val w = new MergeWriter(spark, path, keys)
+        w.compact(keepVersions = keepVersions)
+        w.txLog
+      } else {
+        val l = new TxLog(path)
+        l.compactPartitions(spark, minEntries = minEntries,
+          keepVersions = keepVersions): Unit
+        l
+      }
+    Seq(Row(log.currentVersion()))
+  }
+}
+
 /** Commit history of a raw TxLog table root from SQL — the
   * `DESCRIBE HISTORY` analog ([[TxLogSql.history]] is the API flavor).
   */
@@ -85,20 +143,25 @@ final case class DescribeTxLogCommand(tableRoot: String)
 }
 
 /** Delegating session parser injected by [[graft.GraftExtensions]]:
-  * recognizes exactly three extra statements,
+  * recognizes exactly five extra statements,
   *
   * {{{
   *   MERGE INTO TXLOG '<storePath>' KEYS (k1, k2) BATCH <n> USING <source>
   *   PIN TXLOG '<storePath>' KEYS (k1, k2) AS <view> [VERSION AS OF <n>]
   *   DESCRIBE TXLOG '<tableRoot>'
+  *   VACUUM TXLOG '<tableRoot>' [KEEP <n> VERSIONS] [RETAIN <m> MINUTES]
+  *                              [GRACE <s> SECONDS]
+  *   COMPACT TXLOG '<path>' [KEYS (k1, k2)] [MIN <n> ENTRIES]
+  *                          [KEEP <n> VERSIONS]
   * }}}
   *
   * where `<source>` is a view name or any SELECT (the rest of the
   * statement text — last clause by construction, so no nested-paren
   * grammar is needed). Together they make a [[MergeWriter]] store fully
   * drivable from SQL alone: upsert (returns the committed version), pin
-  * any retained version as a queryable view, and inspect the commit
-  * log. Every other string goes verbatim to the delegate, so the
+  * any retained version as a queryable view, inspect the commit log,
+  * and run the two maintenance operations (history expiry, small-files
+  * compaction). Every other string goes verbatim to the delegate, so the
   * injection can never change the semantics of standard SQL. This is
   * the Catalyst-idiomatic shape Delta/Iceberg use for their statement
   * extensions: a thin `ParserInterface` wrapper, not a fork of the
@@ -112,6 +175,10 @@ final class TxLogSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)PIN\s+TXLOG\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val describePat =
     """(?is)DESCRIBE\s+TXLOG\s+'([^']+)'\s*;?\s*""".r
+  private val vacuumPat =
+    """(?is)VACUUM\s+TXLOG\s+'([^']+)'(?:\s+KEEP\s+(\d+)\s+VERSIONS)?(?:\s+RETAIN\s+(\d+)\s+MINUTES)?(?:\s+GRACE\s+(\d+)\s+SECONDS)?\s*;?\s*""".r
+  private val compactPat =
+    """(?is)COMPACT\s+TXLOG\s+'([^']+)'(?:\s+KEYS\s*\(([^)]+)\))?(?:\s+MIN\s+(\d+)\s+ENTRIES)?(?:\s+KEEP\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
 
   /** Leading whitespace, `--` line comments and (unnested) bracketed
     * comments removed before recognition — real SQL lexers strip these,
@@ -154,6 +221,18 @@ final class TxLogSqlParser(delegate: ParserInterface) extends ParserInterface {
           Option(version).map(_.toLong))
       case describePat(root) =>
         DescribeTxLogCommand(root)
+      case vacuumPat(root, keep, retainMin, graceSec) =>
+        VacuumTxLogCommand(root,
+          keepVersions = Option(keep).map(_.toInt).getOrElse(1),
+          retainMs = Option(retainMin).map(_.toLong * 60000L).getOrElse(0L),
+          orphanGraceMs =
+            Option(graceSec).map(_.toLong * 1000L).getOrElse(600000L))
+      case compactPat(path, keys, minE, keep) =>
+        CompactTxLogCommand(path,
+          keys = Option(keys).map(k => keyList(k, "COMPACT TXLOG"))
+            .getOrElse(Nil),
+          keepVersions = Option(keep).map(_.toInt).getOrElse(1),
+          minEntries = Option(minE).map(_.toInt).getOrElse(2))
       case _ => delegate.parsePlan(sqlText)
     }
 

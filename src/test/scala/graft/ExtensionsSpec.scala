@@ -125,4 +125,77 @@ class ExtensionsSpec extends AnyFunSuite {
       prior.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
     }
   }
+
+  test("SQL VACUUM/COMPACT TXLOG: store maintenance purely through spark.sql") {
+    val base = SparkSpecBase.session
+    val prior = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = Class.forName("graft.GraftExtensions")
+        .getDeclaredConstructor().newInstance()
+        .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(ext)
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+      assert(s2 ne base)
+      val dir = java.nio.file.Files.createTempDirectory("txlog-sql-maint").toString
+
+      (1 to 3).foreach { b =>
+        s2.sql(s"MERGE INTO TXLOG '$dir' KEYS (k) BATCH $b " +
+          s"USING SELECT 'k$b' AS k, $b AS v"): Unit
+      }
+      def rows() = {
+        s2.sql(s"PIN TXLOG '$dir' KEYS (k) AS maint_now"): Unit
+        s2.sql("SELECT k, v FROM maint_now")
+          .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      }
+      val before = rows()
+      assert(before == Set(("k1", 1), ("k2", 2), ("k3", 3)))
+
+      // keyed compaction with retention left to the caller (KEEP 0):
+      // history collapses the three upsert entries into one rewrite
+      // commit, every prior version stays pinned-readable
+      val vC = s2.sql(s"COMPACT TXLOG '$dir' KEYS (k) KEEP 0 VERSIONS")
+        .collect()(0).getLong(0)
+      assert(vC == 3L, "compact must commit one replace version")
+      assert(rows() == before, "compaction changed table contents")
+      assert(s2.sql(s"DESCRIBE TXLOG '$dir/table'").collect().length == 4)
+      assert(s2.sql(s"PIN TXLOG '$dir' KEYS (k) AS maint_v0 VERSION AS OF 0")
+        .collect()(0).getLong(0) == 0L) // KEEP 0 retained the history
+
+      // now expire: KEEP 2 first, then KEEP 1 with zero grace
+      assert(s2.sql(s"VACUUM TXLOG '$dir/table' KEEP 2 VERSIONS")
+        .collect()(0).getLong(0) == 2L)
+      assert(s2.sql(
+        s"VACUUM TXLOG '$dir/table' KEEP 1 VERSIONS GRACE 0 SECONDS")
+        .collect()(0).getLong(0) == 1L)
+      assert(rows() == before, "vacuum changed current table contents")
+
+      // partition-scoped compaction (no KEYS): two partitioned appends
+      // accumulate two entries per week; COMPACT merges them
+      val proot = java.nio.file.Files.createTempDirectory("txlog-sql-part")
+        .toString + "/t"
+      val plog = new graft.store.TxLog(proot)
+      import org.apache.spark.sql.functions.col
+      import s2.implicits._
+      (0 until 2).foreach { i =>
+        plog.writePartitionedAppend(
+          Seq(("w1", i), ("w2", i + 10)).toDF("wk", "n"),
+          col("wk"), statsCols = Seq("n")): Unit
+      }
+      assert(plog.snapshot().entries.size == 4)
+      val vP = s2.sql(s"COMPACT TXLOG '$proot' MIN 2 ENTRIES KEEP 1 VERSIONS")
+        .collect()(0).getLong(0)
+      assert(vP == 2L)
+      assert(plog.snapshot().entries.size == 2, "partitions not merged")
+      assert(plog.read(s2).get.count() == 4)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
+    }
+  }
 }
