@@ -56,6 +56,47 @@ class FunctionsSpec extends SparkSpecBase {
     assert(viaExpr == viaUdaf)
   }
 
+  test("suffix array + binary search == String.contains on random low-alphabet strings (property)") {
+    import graft.pipeline.ExactSubstring
+    // low-alphabet strings maximize repeated suffixes and long shared
+    // prefixes — the regime where a prefix-doubling rank bug or a
+    // binary-search boundary bug would actually show; an ASCII-uniform
+    // generator almost never exercises ties
+    val hayGen = for {
+      n <- Gen.chooseNum(0, 60)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val needleGen = for {
+      n <- Gen.chooseNum(0, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd'))
+    } yield cs.mkString
+    forAll2(hayGen, needleGen) { (hay: String, needle: String) =>
+      val sa = ExactSubstring.suffixArray(hay)
+      assert(sa.sorted.toSeq == (0 until hay.length),
+        s"suffix array of '$hay' is not a permutation")
+      // every true substring must be found...
+      if (hay.nonEmpty) {
+        val within = samples(
+          Gen.zip(Gen.chooseNum(0, hay.length - 1), Gen.chooseNum(1, 8)), 5,
+          seed0 = hay.hashCode.toLong)
+        within.foreach { case (from, len) =>
+          val sub = hay.substring(from, math.min(hay.length, from + len))
+          assert(ExactSubstring.containsVia(hay, sa, sub),
+            s"'$sub' (a real substring) not found in '$hay'")
+        }
+      }
+      // ...and a random needle must agree with String.contains exactly
+      if (hay.nonEmpty || needle.isEmpty) {
+        val expected = hay.contains(needle)
+        val got =
+          if (needle.isEmpty) true
+          else if (hay.isEmpty) false
+          else ExactSubstring.containsVia(hay, sa, needle)
+        assert(got == expected, s"'$needle' in '$hay': got $got")
+      }
+    }
+  }
+
   test("minhash merge is commutative/associative/idempotent (property)") {
     val agg = new MinHash.MinHashAgg(8)
     forAll2(Gen.listOf(Gen.long), Gen.listOf(Gen.long)) { (xs: List[Long], ys: List[Long]) =>
