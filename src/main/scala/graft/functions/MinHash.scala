@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions.udaf
   * each of `numHashes` pairwise-independent permutations, the minimum
   * permuted value (unsigned order).
   *
-  * Permutation i is the affine map h -> a(i)*h + b(i) over Z/2^64 with
-  * a(i) odd; constants derive deterministically from SplitMix64 so the
-  * signature is reproducible across runs, partitions and parallelism
-  * levels (a hard requirement — see SURVEY.md §7.4(4)).
+  * Permutation i is the XXH64 chain h -> hashLong(h, seed_i) with
+  * seed_i = hashLong(i, 42) — bit-identical to SQL
+  * `xxhash64(cast(i as bigint), h)` (see [[perm]]) and fully
+  * deterministic, so the signature is reproducible across runs,
+  * partitions and parallelism levels (a hard requirement — see
+  * SURVEY.md §7.4(4)).
   *
   * Implemented as a typed Aggregator registered via `functions.udaf` so
   * Spark performs map-side partial aggregation (the merge is an
