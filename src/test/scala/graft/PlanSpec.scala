@@ -83,6 +83,31 @@ class PlanSpec extends SparkSpecBase {
       s"expected broadcast for small flagged set:\n${plan.take(1200)}")
   }
 
+  test("incremental new-vs-all band join: AQE broadcasts the micro-batch side at runtime") {
+    // at streaming cadence the new side is a micro-batch (KBs) while
+    // the band store is corpus-sized; the join carries NO broadcast
+    // hint (a backfill-sized new set must be allowed to degrade to a
+    // shuffled join), so the broadcast must come from AQE's runtime
+    // re-planning. Threshold lowered so ONLY the micro-batch side
+    // qualifies — exactly the at-scale size relationship.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+      val sigs = Dedup.signatures(Dedup.shingleSets(docs, cfg), cfg)
+        .localCheckpoint(true)
+      val bandStore = Dedup.bandTable(Dedup.validSignatures(sigs), cfg)
+        .select(col("id"), col("band_key")).localCheckpoint(true)
+      val newIds = sigs.select("id").orderBy("id").limit(5).localCheckpoint(true)
+      val df = Dedup.incrementalPairsBanded(newIds, bandStore,
+        sigs.select("id", "shingles"), cfg)
+      df.collect() // materialize so AQE's final plan is available
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"AQE did not finalize:\n${plan.take(800)}")
+      assert(plan.contains("BroadcastHashJoin [band_key"),
+        s"band join not converted to broadcast at runtime:\n${plan.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("decontamination gram join broadcasts the benchmark side — corpus side never shuffles") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = planOf(graft.queries.Curation.contaminatedDocs(
