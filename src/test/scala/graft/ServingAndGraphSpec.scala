@@ -119,4 +119,44 @@ class ServingAndGraphSpec extends SparkSpecBase {
     val got = cc(path)
     assert(got.values.toSet == Set(0L) && got.size == 51)
   }
+
+  test("connected components (property): random sparse-id graphs match a local union-find") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(20260819L)
+    for (trial <- 0 until 5) {
+      val n = 30 + rnd.nextInt(50)
+      // sparse, shuffled ids — the label-by-min convention must hold on
+      // arbitrary Long domains, not just dense 0..n
+      val ids = rnd.shuffle((0 until 4 * n).toVector).take(n)
+        .map(_.toLong * 1000003L + 7L)
+      // ~n random edges (mixed density: isolated nodes, trees, cycles)
+      // plus deliberate self-loops and duplicates, which run() must drop
+      val m = n / 2 + rnd.nextInt(n)
+      val raw = Vector.fill(m)((ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))) ++
+        Vector((ids(0), ids(0)), (ids(1), ids(1))) // self-loops
+      val edges = (raw ++ raw.take(3)).toDF("src", "dst") // duplicates
+
+      // model: union-find over non-self-loop edges, label = min member
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      raw.filter(e => e._1 != e._2).foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+
+      val dist = ConnectedComponents.run(edges, localThreshold = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val local = ConnectedComponents.run(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == expected,
+        s"trial=$trial n=$n m=$m: distributed CC diverges from union-find " +
+          s"(only-in-cc=${dist.toSet -- expected.toSet} only-in-model=${expected.toSet -- dist.toSet})")
+      assert(local == expected, s"trial=$trial: local fast path diverges from union-find")
+    }
+  }
 }
