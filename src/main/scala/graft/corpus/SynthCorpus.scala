@@ -197,12 +197,16 @@ object SynthCorpus {
     * (html dropped — the timed pipelines read text) persisted once per
     * `nBase` under /tmp and reused across sessions. Centralized so two
     * tools can never A/B against corpora generated with silently
-    * diverged parameters, and so the exists-then-write window lives in
-    * one place. Returns the corpus directory.
+    * diverged parameters, and so the commit-marker reuse check lives
+    * in one place. Returns the corpus directory.
     */
   def ensureScalingCorpus(spark: SparkSession, nBase: Int): String = {
     val corpusDir = s"/tmp/graft_scaling_corpus_$nBase"
-    if (!new java.io.File(corpusDir).exists()) {
+    // reuse only a COMMITTED write: the _SUCCESS marker appears at job
+    // commit, so a generator killed mid-write leaves a directory this
+    // check rejects and the overwrite below replaces (a bare exists()
+    // check silently benchmarked truncated corpora)
+    if (!new java.io.File(corpusDir, "_SUCCESS").exists()) {
       val (pages, _) = generate(spark, seed = 123L, nBase = nBase,
         dupRate = 0.2)
       pages.drop("html").repartition(64)

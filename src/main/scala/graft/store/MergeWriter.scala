@@ -149,13 +149,18 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
     * `keepVersions`/`retainMs` pass straight to [[TxLog.vacuum]] so
     * pinned snapshot readers within the retention window keep their
     * files; `keepVersions = 0` skips the vacuum (caller owns retention).
+    * `minEntries` is the batching threshold: histories with fewer
+    * manifest entries are left alone (the SQL `MIN n ENTRIES` clause).
     */
   def compact(maxRetries: Int = 3, vacuumGraceMs: Long = 600000L,
-              keepVersions: Int = 1, retainMs: Long = 0L): Unit = {
+              keepVersions: Int = 1, retainMs: Long = 0L,
+              minEntries: Int = 2): Unit = {
     var attempt = 0
     while (attempt < maxRetries) {
       val snap = log.snapshot()
-      if (snap.entries.size <= 1) return // nothing to collapse
+      // below the caller's batching threshold (and never a single
+      // entry) there is nothing worth collapsing
+      if (snap.entries.size < math.max(2, minEntries)) return
       val maxBatch = snap.entries.map(_.batch).max
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(keys.map(col): _*)

@@ -64,12 +64,34 @@ final case class PinTxLogViewCommand(storePath: String,
   }
 }
 
+private[store] object TxLogSqlPaths {
+  /** The MERGE/PIN statements address a [[MergeWriter]] STORE root (the
+    * log lives under `<path>/table`), while the raw-table maintenance
+    * statements address a TxLog table root directly. Accepting only one
+    * flavor per statement made `VACUUM TXLOG '<storeRoot>'` a silent
+    * no-op (empty log dir at the store root), so the maintenance
+    * commands resolve the root: the path itself if it carries a commit
+    * log, else its `/table` child if THAT carries one — and otherwise
+    * fail loudly instead of reporting success over a log that was never
+    * there.
+    */
+  def resolveTableRoot(path: String): String = {
+    def hasLog(p: String) = new java.io.File(p, "_log").isDirectory
+    if (hasLog(path)) path
+    else if (hasLog(s"$path/table")) s"$path/table"
+    else throw new IllegalArgumentException(
+      s"no TxLog commit log at '$path' or '$path/table' — nothing to maintain")
+  }
+}
+
 /** Expire table history from SQL — the `VACUUM` statement analog over
   * a raw TxLog table root ([[TxLog.vacuum]] is the API flavor; same
   * retention contract: keep the last `keepVersions` manifests plus
   * everything younger than `retainMs`, reclaim only unreferenced data
-  * older than the `orphanGraceMs` staging-protection window). Returns
-  * the number of manifest versions still retained after the vacuum.
+  * older than the `orphanGraceMs` staging-protection window). Accepts
+  * either a raw table root or a [[MergeWriter]] store root (resolved
+  * via [[TxLogSqlPaths.resolveTableRoot]]). Returns the number of
+  * manifest versions still retained after the vacuum.
   */
 final case class VacuumTxLogCommand(tableRoot: String,
                                     keepVersions: Int,
@@ -81,7 +103,7 @@ final case class VacuumTxLogCommand(tableRoot: String,
     Seq(AttributeReference("retained_versions", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val log = new TxLog(tableRoot)
+    val log = new TxLog(TxLogSqlPaths.resolveTableRoot(tableRoot))
     log.vacuum(keepVersions, orphanGraceMs = orphanGraceMs,
       retainMs = retainMs)
     Seq(Row(log.history().size.toLong))
@@ -90,9 +112,11 @@ final case class VacuumTxLogCommand(tableRoot: String,
 
 /** Small-files compaction from SQL. With a KEYS clause the target is a
   * [[MergeWriter]] store and compaction collapses upsert history under
-  * last-writer-wins ([[MergeWriter.compact]]); without KEYS the target
-  * is a raw hidden-partitioned table root and compaction rewrites only
-  * partitions holding >= `minEntries` live entries
+  * last-writer-wins ([[MergeWriter.compact]]), skipped while the
+  * history holds fewer than `minEntries` manifest entries; without KEYS
+  * the target is a raw hidden-partitioned table root (or a store root,
+  * resolved via [[TxLogSqlPaths.resolveTableRoot]]) and compaction
+  * rewrites only partitions holding >= `minEntries` live entries
   * ([[TxLog.compactPartitions]]). `keepVersions` governs post-compaction
   * retention exactly as in the API (0 = skip the vacuum, caller owns
   * retention). Returns the table's current version after the call.
@@ -110,10 +134,10 @@ final case class CompactTxLogCommand(path: String,
     val log =
       if (keys.nonEmpty) {
         val w = new MergeWriter(spark, path, keys)
-        w.compact(keepVersions = keepVersions)
+        w.compact(keepVersions = keepVersions, minEntries = minEntries)
         w.txLog
       } else {
-        val l = new TxLog(path)
+        val l = new TxLog(TxLogSqlPaths.resolveTableRoot(path))
         l.compactPartitions(spark, minEntries = minEntries,
           keepVersions = keepVersions): Unit
         l
@@ -137,9 +161,10 @@ final case class DescribeTxLogCommand(tableRoot: String)
     AttributeReference("n_rows", LongType, nullable = true)())
 
   override def run(spark: SparkSession): Seq[Row] =
-    new TxLog(tableRoot).history().map { case (v, op, n, rows) =>
-      Row(v, op, n, rows.map(java.lang.Long.valueOf).orNull)
-    }
+    new TxLog(TxLogSqlPaths.resolveTableRoot(tableRoot)).history()
+      .map { case (v, op, n, rows) =>
+        Row(v, op, n, rows.map(java.lang.Long.valueOf).orNull)
+      }
 }
 
 /** Delegating session parser injected by [[graft.GraftExtensions]]:

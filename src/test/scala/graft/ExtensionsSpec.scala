@@ -174,6 +174,36 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect()(0).getLong(0) == 1L)
       assert(rows() == before, "vacuum changed current table contents")
 
+      // store-ROOT maintenance: DESCRIBE/VACUUM accept the same
+      // MergeWriter store root MERGE/PIN address (resolved to its
+      // /table child) — previously a silent no-op over an empty log
+      assert(s2.sql(s"DESCRIBE TXLOG '$dir'").collect().length ==
+        s2.sql(s"DESCRIBE TXLOG '$dir/table'").collect().length)
+      assert(s2.sql(s"VACUUM TXLOG '$dir' KEEP 1 VERSIONS GRACE 0 SECONDS")
+        .collect()(0).getLong(0) == 1L)
+      // a path with no commit log anywhere fails loudly instead of
+      // reporting a successful vacuum over nothing
+      intercept[Exception](
+        s2.sql(s"VACUUM TXLOG '$dir-nowhere' KEEP 1 VERSIONS").collect())
+
+      // keyed COMPACT honors MIN n ENTRIES: after two fresh upserts the
+      // 3-entry history (compacted + 2) is below MIN 5 and must be left
+      // alone; MIN 3 then collapses it
+      s2.sql(s"MERGE INTO TXLOG '$dir' KEYS (k) BATCH 4 " +
+        "USING SELECT 'k4' AS k, 4 AS v"): Unit
+      s2.sql(s"MERGE INTO TXLOG '$dir' KEYS (k) BATCH 5 " +
+        "USING SELECT 'k5' AS k, 5 AS v"): Unit
+      def storeEntries() =
+        new graft.store.TxLog(s"$dir/table").snapshot().entries.size
+      assert(storeEntries() == 3)
+      s2.sql(s"COMPACT TXLOG '$dir' KEYS (k) MIN 5 ENTRIES KEEP 0 VERSIONS")
+        .collect(): Unit
+      assert(storeEntries() == 3, "MIN 5 ENTRIES must skip a 3-entry history")
+      s2.sql(s"COMPACT TXLOG '$dir' KEYS (k) MIN 3 ENTRIES KEEP 0 VERSIONS")
+        .collect(): Unit
+      assert(storeEntries() == 1, "MIN 3 ENTRIES must compact a 3-entry history")
+      assert(rows() == before ++ Set(("k4", 4), ("k5", 5)))
+
       // partition-scoped compaction (no KEYS): two partitioned appends
       // accumulate two entries per week; COMPACT merges them
       val proot = java.nio.file.Files.createTempDirectory("txlog-sql-part")
