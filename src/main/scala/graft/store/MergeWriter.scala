@@ -162,14 +162,11 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
       // entry) there is nothing worth collapsing
       if (snap.entries.size < math.max(2, minEntries)) return
       val maxBatch = snap.entries.map(_.batch).max
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(keys.map(col): _*)
-        .orderBy(col("_batch").desc, col("_seq").desc)
       val dir = log.newDataDir()
-      readWithSeq(snap)
-        .withColumn("_rn", row_number().over(w))
-        .where(col("_rn") === 1)
-        .drop("_rn", "_seq")
+      // the ONE last-writer-wins resolution (same code path read()
+      // serves), re-tagged with maxBatch so post-compaction upserts
+      // still order correctly against the collapsed history
+      resolveLastWriter(snap)
         .withColumn("_batch", lit(maxBatch))
         .write.mode(SaveMode.Overwrite).parquet(dir.getPath)
       // the manifest ENTRY is tagged with a reserved sentinel, not

@@ -139,13 +139,36 @@ final class TxLog(val root: String) {
   def currentVersion(): Long =
     listManifests().foldLeft(-1L) { case (m, (v, _)) => math.max(m, v) }
 
+  /** Number of retained manifest versions — one directory listing, no
+    * manifest parsing (history() reads and parses every manifest; a
+    * count must not pay that, nor fail on one unparseable legacy
+    * manifest).
+    */
+  def versionCount(): Int = listManifests().length
+
   /** The latest committed snapshot (version −1, no entries, if the
     * table has never been committed to). A partially-written manifest
     * temp file is invisible by construction (publish is the last step).
+    *
+    * The list-then-read pair is not atomic: a concurrent commit + vacuum
+    * (e.g. MergeWriter.compact with default retention) can delete the
+    * manifest this call just resolved. That race means a NEWER version
+    * exists, so re-resolving is guaranteed fresh progress, never a spin
+    * on the same version — retried a bounded number of times so a
+    * genuinely torn log still fails loudly instead of looping.
     */
   def snapshot(): TxSnapshot = {
-    val v = currentVersion()
-    if (v < 0) TxSnapshot(-1L, Vector.empty) else snapshotAt(v)
+    var attempt = 0
+    while (true) {
+      val v = currentVersion()
+      if (v < 0) return TxSnapshot(-1L, Vector.empty)
+      try return snapshotAt(v)
+      catch {
+        case _: java.nio.file.NoSuchFileException if attempt < 5 =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Read a specific committed version's manifest. Fails loudly if the
@@ -335,10 +358,16 @@ final class TxLog(val root: String) {
     * Vacuumed-past versions are simply absent.
     */
   def history(): Seq[(Long, String, Int, Option[Long])] =
-    listManifests().map { case (v, f) =>
-      val text = new String(Files.readAllBytes(f.toPath), UTF_8)
-      val (snap, op) = parseManifestWithOp(text) // same strictness as reads
-      (v, op, snap.entries.size, snap.rowCount)
+    listManifests().flatMap { case (v, f) =>
+      // a manifest deleted between the listing and this read was
+      // vacuumed concurrently — by definition no longer retained, so
+      // absent from history, same as if the listing had run after the
+      // vacuum (parse failures still propagate: corrupt ≠ vacuumed)
+      try {
+        val text = new String(Files.readAllBytes(f.toPath), UTF_8)
+        val (snap, op) = parseManifestWithOp(text) // same strictness as reads
+        Some((v, op, snap.entries.size, snap.rowCount))
+      } catch { case _: java.nio.file.NoSuchFileException => None }
     }.toSeq
 
   /** Latest table contents, or None when the table is genuinely empty
@@ -947,7 +976,10 @@ final class TxLog(val root: String) {
       else colLineage.toSeq.sortBy(_._1)
         .map { case (n, t) => s"${jstr(n)}:${jstr(t)}" }
         .mkString(""","cols":{""", ",", "}")
-    s"""{"version":$version,"op":"$op"$sch$cols,"entries":[$es]}"""
+    // op is caller-supplied text — escaped like every other string
+    // field, so an op containing a quote/backslash/newline can never
+    // render a manifest that later parses fail on
+    s"""{"version":$version,"op":${jstr(op)}$sch$cols,"entries":[$es]}"""
   }
 
   private def parseManifest(text: String): TxSnapshot =
@@ -1404,12 +1436,33 @@ object TxLog {
     * match (epoch micros vs epoch days vs lexicographic are distinct
     * orders).
     */
+  /** Unsigned UTF-8 byte order — the order Spark's UTF8String uses to
+    * compute string min/max. Java's UTF-16 `compareTo` diverges for
+    * supplementary-plane code points (surrogates D800–DFFF sort BELOW
+    * U+E000–U+FFFF in UTF-16, but their UTF-8 encoding 0xF0.. sorts
+    * ABOVE every BMP byte), so pruning against `compareTo` could skip
+    * an entry that contains matching rows. Bounds must be compared in
+    * the same order they were computed.
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(UTF_8)
+    val y = b.getBytes(UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   private[store] def cmp(statTyp: String, statVal: String,
                          probeTyp: String, probeVal: String): Option[Int] = {
     val numeric = Set("long", "double")
     (statTyp, probeTyp) match {
       case (a, b) if a == b && a == "string" =>
-        Some(statVal.compareTo(probeVal))
+        Some(utf8Compare(statVal, probeVal))
       case (a, b) if a == b || (numeric(a) && numeric(b)) =>
         // a bound this writer can't parse (e.g. "NaN" from a foreign or
         // older writer) is incomparable, NOT an error — pruning must

@@ -106,7 +106,10 @@ final case class VacuumTxLogCommand(tableRoot: String,
     val log = new TxLog(TxLogSqlPaths.resolveTableRoot(tableRoot))
     log.vacuum(keepVersions, orphanGraceMs = orphanGraceMs,
       retainMs = retainMs)
-    Seq(Row(log.history().size.toLong))
+    // a manifest-listing count, not history(): the vacuum already
+    // succeeded, so reporting it must neither re-parse every retained
+    // manifest nor fail on an unparseable legacy one
+    Seq(Row(log.versionCount().toLong))
   }
 }
 
@@ -133,6 +136,20 @@ final case class CompactTxLogCommand(path: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val log =
       if (keys.nonEmpty) {
+        // keyed statements address the STORE root (log under
+        // `<path>/table`); validate before constructing the writer so a
+        // wrong path fails loudly instead of no-op "compacting" an
+        // empty store it just implied into existence
+        if (!new java.io.File(s"$path/table", "_log").isDirectory) {
+          val hint =
+            if (new java.io.File(path, "_log").isDirectory)
+              " ('" + path + "' is a raw TABLE root — keyed COMPACT takes " +
+                "the MergeWriter STORE root, its parent)"
+            else ""
+          throw new IllegalArgumentException(
+            s"no MergeWriter store at '$path' (expected a commit log at " +
+              s"'$path/table/_log')$hint")
+        }
         val w = new MergeWriter(spark, path, keys)
         w.compact(keepVersions = keepVersions, minEntries = minEntries)
         w.txLog

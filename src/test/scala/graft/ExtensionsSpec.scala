@@ -186,6 +186,14 @@ class ExtensionsSpec extends AnyFunSuite {
       intercept[Exception](
         s2.sql(s"VACUUM TXLOG '$dir-nowhere' KEEP 1 VERSIONS").collect())
 
+      // keyed COMPACT validates its path: the raw TABLE root (which
+      // VACUUM accepts) and a missing path both fail loudly instead of
+      // no-op "compacting" a store implied into existence
+      intercept[Exception](
+        s2.sql(s"COMPACT TXLOG '$dir/table' KEYS (k)").collect())
+      intercept[Exception](
+        s2.sql(s"COMPACT TXLOG '$dir-nowhere' KEYS (k)").collect())
+
       // keyed COMPACT honors MIN n ENTRIES: after two fresh upserts the
       // 3-entry history (compacted + 2) is below MIN 5 and must be left
       // alone; MIN 3 then collapses it

@@ -1127,4 +1127,45 @@ class TxLogSpec extends SparkSpecBase {
     w.compact(vacuumGraceMs = 0L)
     assert(w.txLog.snapshot().rowCount.contains(2L)) // exact after rewrite
   }
+
+  test("string stats pruning compares in UTF-8 byte order (supplementary plane)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val log = new TxLog(tmp("txlog-utf8"))
+    // one entry holding both U+FFFD (BMP, UTF-8 EF BF BD) and U+10000
+    // (supplementary, UTF-8 F0 90 80 80): Spark computes the stats max
+    // in UTF8String byte order, so max = U+10000. Java's UTF-16
+    // compareTo would call that max SMALLER than a U+FFFD probe (its
+    // first code unit is the surrogate 0xD800 < 0xFFFD) and wrongly
+    // prune the entry that contains the matching U+FFFD row.
+    val supp = new String(Character.toChars(0x10000))
+    log.writeAppend(Seq(("�", 1), (supp, 2)).toDF("s", "v"),
+      statsCols = Seq("s"))
+    val snap = log.snapshot()
+    assert(snap.entries.head.stats("s").max == supp,
+      "precondition: Spark's max must be the supplementary-plane string")
+    assert(log.pruneRange(snap, "s", Some("�"), None).size == 1,
+      "UTF-16 comparison would lossily prune this entry")
+    val got = log.readRange(spark, "s", Some("�"), None).get
+      .where(col("s") === "�").count()
+    assert(got == 1L)
+    // symmetric direction: a probe UPPER bound below the UTF-8 min
+    // must still prune (ordering fix must not disable pruning)
+    assert(log.pruneRange(snap, "s", None, Some("A")).isEmpty)
+  }
+
+  test("manifest op tag is JSON-escaped; versionCount is listing-based") {
+    val spark2 = spark
+    import spark2.implicits._
+    val log = new TxLog(tmp("txlog-op-escape"))
+    val dir = log.newDataDir()
+    Seq(1L).toDF("id").write.parquet(dir.getPath)
+    log.commitAppend(Seq(TxEntry(log.relativize(dir), -1L)),
+      op = "load \"v2\"\\nightly")
+    // an op carrying quotes/backslashes must round-trip, not brick
+    // every later parse of the manifest
+    assert(log.snapshot().entries.size == 1)
+    assert(log.history().map(_._2) == Seq("load \"v2\"\\nightly"))
+    assert(log.versionCount() == log.history().size)
+  }
 }
