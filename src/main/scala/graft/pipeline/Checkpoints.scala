@@ -97,6 +97,14 @@ object ResumableDedupJob {
     val done = store.completedBuckets("signatures", stageTag)
     val missing = (0 until buckets).filterNot(done.contains)
     val sigDir = s"$workDir/signatures/tag=$stageTag"
+    // the signature table schema is a pure function of the config (plan
+    // derivation only, no job) — read-backs below declare it explicitly
+    // so they never depend on footer inference (which LISTS data files
+    // and FAILS on a legitimately empty table)
+    val sigSchema = Dedup.signatures(Dedup.shingleSets(
+        docs.select(col("id"), col("text")).limit(0), cfg), cfg)
+      .withColumn("bucket", pmod(xxhash64(col("id")), lit(buckets)).cast("int"))
+      .schema
     val waves =
       if (waveBuckets <= 0 || missing.isEmpty) Seq(missing)
       else missing.grouped(waveBuckets).toSeq
@@ -119,24 +127,22 @@ object ResumableDedupJob {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket").parquet(sigDir)
       // lineage counts, read back column-pruned from the just-written
-      // files. An AnalysisException here is the inferrable-schema miss
-      // of a table with NO data files yet (every bucket of the first
-      // wave empty) — record zero counts; genuine read errors surface
-      // on the final full read below
-      val counts =
-        try spark.read.parquet(sigDir)
-          .where(col("bucket").isin(wave: _*))
-          .groupBy("bucket").count()
-          .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
-        catch {
-          case _: org.apache.spark.sql.AnalysisException => Map.empty[Int, Long]
-        }
+      // files under the EXPLICIT schema: an all-empty wave (zero data
+      // files yet) reads as an empty table instead of failing footer
+      // inference, and a genuine read error still throws HERE — before
+      // store.record can durably mark the wave's buckets complete (a
+      // swallowed error there would wedge every later resume: `missing`
+      // empty, nothing recomputed, the final read failing forever)
+      val counts = spark.read.schema(sigSchema).parquet(sigDir)
+        .where(col("bucket").isin(wave: _*))
+        .groupBy("bucket").count()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
       // buckets that produced zero rows still count as completed
       val all = wave.map(b => (b, counts.getOrElse(b, 0L))).toSeq
       store.record("signatures", stageTag, all,
         System.currentTimeMillis() - t0)
     }
-    docs.sparkSession.read.parquet(sigDir)
+    docs.sparkSession.read.schema(sigSchema).parquet(sigDir)
   }
 
   /** Pairs stage from a signatures table: validity filter -> skew-aware

@@ -45,6 +45,16 @@ final class MergeWriter(spark: SparkSession, path: String, keys: Seq[String]) {
       require(!batch.columns.exists(_.equalsIgnoreCase(r)),
         s"column name '$r' is reserved by MergeWriter; rename the input column")
     }
+    // a typo'd key would COMMIT fine and then break every subsequent
+    // read (last-writer-wins partitions by the key, unresolved column)
+    // far from the mistake — this is the boundary where user-typed key
+    // names first meet a schema (e.g. SQL `MERGE INTO TXLOG ... KEYS`),
+    // so fail here, before anything durable happens
+    keys.foreach { k =>
+      require(batch.columns.exists(_.equalsIgnoreCase(k)),
+        s"key column '$k' not in the batch (columns: " +
+          s"${batch.columns.mkString(", ")})")
+    }
     val dir = log.newDataDir()
     val stamped = batch.withColumn("_batch", lit(batchId))
     val seed = log.requireLegacyCompatible(spark, stamped.schema.json)

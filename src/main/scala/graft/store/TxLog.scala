@@ -293,22 +293,43 @@ final class TxLog(val root: String) {
   def vacuum(keepVersions: Int = 1, orphanGraceMs: Long = 600000L,
              retainMs: Long = 0L): Unit = {
     require(keepVersions >= 1, "must keep at least the current version")
-    val manifests = listManifests()
-    if (manifests.isEmpty) return
-    val ageKeepIdx =
-      if (retainMs <= 0L) manifests.length // age guard off: count-only
-      else {
-        val ageCut = System.currentTimeMillis() - retainMs
-        manifests.indexWhere { case (_, f) => f.lastModified() >= ageCut }
-          match { case -1 => manifests.length; case i => i }
+    // the list-then-read prelude is not atomic: a CONCURRENT vacuum
+    // (e.g. IvfCentroidStore first-caller races, or SQL VACUUM next to
+    // MergeWriter.compact's post-compaction vacuum) can delete one of
+    // the manifests this call just listed as kept. A vanished manifest
+    // means the other vacuum already retired that version, so
+    // re-listing is guaranteed fresh progress — bounded retries, same
+    // policy as snapshot(), so a genuinely torn log still fails loudly.
+    // (The CURRENT version's manifest can never vanish: every vacuum
+    // keeps at least its own newest, and no vacuum lists a version
+    // newer than the one this call saw.)
+    var prelude: Option[(Seq[(Long, File)], Set[String])] = None
+    var attempt = 0
+    while (prelude.isEmpty) {
+      val manifests = listManifests()
+      if (manifests.isEmpty) return
+      val ageKeepIdx =
+        if (retainMs <= 0L) manifests.length // age guard off: count-only
+        else {
+          val ageCut = System.currentTimeMillis() - retainMs
+          manifests.indexWhere { case (_, f) => f.lastModified() >= ageCut }
+            match { case -1 => manifests.length; case i => i }
+        }
+      val splitIdx =
+        math.min(math.max(0, manifests.length - keepVersions), ageKeepIdx)
+      val (dropMs, keepMs) = manifests.splitAt(splitIdx)
+      try {
+        val refs: Set[String] = keepMs.flatMap { case (_, f) =>
+          parseManifest(new String(Files.readAllBytes(f.toPath), UTF_8))
+            .entries.map(_.path)
+        }.toSet
+        prelude = Some((dropMs, refs))
+      } catch {
+        case _: java.nio.file.NoSuchFileException if attempt < 5 =>
+          attempt += 1
       }
-    val splitIdx =
-      math.min(math.max(0, manifests.length - keepVersions), ageKeepIdx)
-    val (dropM, keepM) = manifests.splitAt(splitIdx)
-    val referenced: Set[String] = keepM.flatMap { case (_, f) =>
-      parseManifest(new String(Files.readAllBytes(f.toPath), UTF_8))
-        .entries.map(_.path)
-    }.toSet
+    }
+    val (dropM, referenced) = prelude.get
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     // orphan age = the NEWEST mtime anywhere in the candidate's tree,
     // not the directory's own: a staged-but-uncommitted Spark write

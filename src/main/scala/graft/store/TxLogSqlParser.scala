@@ -28,12 +28,21 @@ final case class MergeIntoTxLogCommand(storePath: String,
     Seq(AttributeReference("version", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    // a bare identifier is a view/table reference; anything else is a
-    // query re-parsed by the SESSION parser (so graft SQL functions and
-    // nested statements all work inside the USING clause)
+    // a bare identifier is a view/table reference; anything else must be
+    // a QUERY: parseQuery rejects commands/DDL up front, so `USING
+    // INSERT INTO ...` can never run as a side effect of the merge
+    // (spark.sql executes commands EAGERLY — without this gate an
+    // arbitrary statement placed in USING would execute with session
+    // privileges and the merge would then commit the command's empty
+    // output as a junk batch). After the gate, spark.sql on the same
+    // text is lazy (it is a query), and graft SQL functions resolve
+    // as in any session query.
     val src =
       if (source.matches("""[A-Za-z_][A-Za-z0-9_.]*""")) spark.table(source)
-      else spark.sql(source)
+      else {
+        spark.sessionState.sqlParser.parseQuery(source)
+        spark.sql(source)
+      }
     val version = new MergeWriter(spark, storePath, keys).upsert(src, batchId)
     Seq(Row(version))
   }

@@ -116,6 +116,28 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(hist.map(r => (r.getLong(0), r.getLong(3))).toSeq ==
         Seq((v0, 2L), (v1, 3L), (v2, 4L)))
 
+      // USING is restricted to QUERIES: a command placed there is
+      // rejected up front and must NOT execute as a side effect (spark
+      // .sql runs commands eagerly — ungated, this CREATE VIEW would
+      // run with session privileges and the merge would then commit the
+      // command's empty output as a junk batch)
+      intercept[Exception](s2.sql(
+        s"MERGE INTO TXLOG '$dir' KEYS (k) BATCH 9 " +
+          "USING CREATE OR REPLACE TEMP VIEW pwned AS SELECT 'z' AS k, 0 AS v"))
+      assert(!s2.catalog.tableExists("pwned"),
+        "the command in USING must not have executed")
+      assert(s2.sql(s"DESCRIBE TXLOG '$dir/table'").collect().length == 3,
+        "no junk batch committed")
+
+      // a typo'd key column fails loudly BEFORE anything durable
+      // happens — this SQL boundary is where user-typed key names first
+      // meet a schema; committing would leave the store unreadable
+      val keyErr = intercept[Exception](s2.sql(
+        s"MERGE INTO TXLOG '$dir' KEYS (kk) BATCH 9 " +
+          "USING SELECT 'z' AS k, 0 AS v"))
+      assert(keyErr.getMessage.contains("kk"))
+      assert(s2.sql(s"DESCRIBE TXLOG '$dir/table'").collect().length == 3)
+
       // a malformed statement falls through to the delegate parser and
       // fails as ordinary SQL — the injection never shadows real errors
       intercept[Exception](s2.sql("MERGE INTO TXLOG missing-quotes"))

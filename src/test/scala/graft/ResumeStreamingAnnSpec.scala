@@ -133,6 +133,28 @@ class ResumeStreamingAnnSpec extends SparkSpecBase {
     assert(new graft.store.TxLog(s"$waveDir/checkpoints").history().size == buckets)
   }
 
+  test("signatures stage is total on an empty corpus and resume does not wedge") {
+    val docs = Dedup.fromDocuments(
+      spark.read.parquet(s"$sfDir/documents.parquet")).where(lit(false))
+    val dir = tmpDir("graft-empty-stage")
+    val buckets = 4
+    // every bucket of the only wave is empty: zero data files land, the
+    // read-back must see an empty table under the declared schema (not
+    // fail footer inference), and the buckets still checkpoint complete
+    val s1 = ResumableDedupJob.signaturesStage(docs, cfg, dir, buckets)
+    assert(s1.count() == 0)
+    val store = new CheckpointStore(spark, dir)
+    assert(store.completedBuckets("signatures", s"${cfg.configTag}-b$buckets")
+      == (0 until buckets).toSet)
+    // resume on the completed checkpoint: nothing recomputes and the
+    // final read still succeeds — regression for the swallowed read
+    // error that recorded completion and then failed here on EVERY
+    // resume (wedged until the operator deleted the checkpoint)
+    val s2 = ResumableDedupJob.signaturesStage(docs, cfg, dir, buckets)
+    assert(s2.count() == 0)
+    assert(s2.columns.sameElements(s1.columns))
+  }
+
   test("intra-batch duplicate/null ids are hygienized before any store write; matchEvery guard") {
     val spark2 = spark
     import spark2.implicits._

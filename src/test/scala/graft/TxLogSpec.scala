@@ -1154,6 +1154,40 @@ class TxLogSpec extends SparkSpecBase {
     assert(log.pruneRange(snap, "s", None, Some("A")).isEmpty)
   }
 
+  test("vacuum survives concurrent vacuums retiring its listed manifests") {
+    val spark2 = spark
+    import spark2.implicits._
+    val log = new TxLog(tmp("txlog-vacuum-race"))
+    def commit(n: Long): Unit = {
+      val dir = log.newDataDir()
+      Seq(n).toDF("id").write.parquet(dir.getPath)
+      log.commitAppend(Seq(TxEntry(log.relativize(dir), n)))
+    }
+    (0L until 6L).foreach(commit)
+    // two vacuums with different retention race against a writer: the
+    // looser one can list a manifest the stricter one deletes before it
+    // reads — the prelude must re-list (progress is guaranteed: a
+    // vanished manifest means the other vacuum already retired it),
+    // never crash the caller (IvfCentroidStore.loadOrTrain first-caller
+    // races and SQL VACUUM next to MergeWriter.compact are this shape)
+    @volatile var failure: Option[Throwable] = None
+    val racer = new Thread(() => {
+      try (0 until 40).foreach { i =>
+        commit(100L + i)
+        log.vacuum(keepVersions = 1, orphanGraceMs = 60000L)
+      } catch { case t: Throwable => failure = Some(t) }
+    })
+    racer.start()
+    try (0 until 40).foreach { _ =>
+      log.vacuum(keepVersions = 3, orphanGraceMs = 60000L)
+    } finally racer.join()
+    failure.foreach(t => fail(s"concurrent vacuum crashed: $t"))
+    // the table stayed readable and the newest commit survived
+    assert(log.snapshot().version >= 0)
+    assert(log.read(spark).get.agg(org.apache.spark.sql.functions.max(
+      col("id"))).head.getLong(0) == 139L)
+  }
+
   test("manifest op tag is JSON-escaped; versionCount is listing-based") {
     val spark2 = spark
     import spark2.implicits._
