@@ -33,6 +33,80 @@ class StoreAndMetricsSpec extends SparkSpecBase {
     assert(w.read().count() == 3)
   }
 
+  test("randomized op sequence matches a batch-fold model (upsert/redeliver/compact/vacuum/time-travel)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-rand").toString
+    val w = new MergeWriter(spark, dir, Seq("k"))
+    val rnd = new scala.util.Random(20260819L)
+    val keySpace = (0 until 12).map(i => f"k$i%02d")
+
+    // exact model: the store's view is the batch-id-ordered fold of the
+    // live batches' key→value maps. Compaction collapses the history
+    // into one max-batch-tagged row set, after which REDELIVERING an
+    // older batch id is only idempotent for identical content (the
+    // compacted rows outrank it) — so redelivery here is restricted to
+    // post-compaction ids, where replace-by-batch-id semantics hold and
+    // the fold model is exact. (The production streaming writer obeys
+    // the same discipline: micro-batch ids are monotone and a replay
+    // carries the same content.)
+    val batches = scala.collection.mutable.SortedMap.empty[Long, Map[String, Int]]
+    val redeliverable = scala.collection.mutable.Set.empty[Long]
+    def view: Map[String, Int] =
+      batches.values.foldLeft(Map.empty[String, Int])(_ ++ _)
+    def randomContent(): Map[String, Int] =
+      rnd.shuffle(keySpace).take(1 + rnd.nextInt(5))
+        .map(k => k -> rnd.nextInt(1000)).toMap
+    def upsert(b: Long, content: Map[String, Int]): Long =
+      w.upsert(content.toSeq.toDF("k", "v"), b)
+    def check(df: org.apache.spark.sql.DataFrame, expect: Map[String, Int],
+              what: String): Unit = {
+      val got = df.collect().map(r => r.getString(0) -> r.getInt(1)).toSeq
+      assert(got.map(_._1).distinct.size == got.size,
+        s"$what: duplicate keys in ${got.sortBy(_._1)}")
+      assert(got.toMap == expect, s"$what: got ${got.toMap} want $expect")
+    }
+
+    // pinned versions recorded as we go; all manifests retained below
+    // (keepVersions far above the op count), so every recorded version
+    // must reconstruct exactly at the end
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[(Long, Map[String, Int])]
+
+    upsert(0L, { val c = randomContent(); batches(0L) = c; redeliverable += 0L; c })
+    var step = 1L
+    (1 to 21).foreach { _ =>
+      rnd.nextInt(10) match {
+        case n if n <= 5 => // fresh upsert, monotone batch id
+          val c = randomContent()
+          val v = upsert(step, c)
+          batches(step) = c; redeliverable += step
+          if (rnd.nextInt(3) == 0) pinned += ((v, view))
+          step += 1
+        case 6 | 7 if redeliverable.nonEmpty => // redeliver with new content
+          val b = rnd.shuffle(redeliverable.toSeq).head
+          val c = randomContent()
+          upsert(b, c)
+          batches(b) = c
+        case 8 => // compact: view-preserving, collapses batch history
+          w.compact(keepVersions = 1000, minEntries = 2)
+          val maxBatch = batches.keys.max
+          val v = view
+          batches.clear(); batches(maxBatch) = v
+          redeliverable.clear()
+        case _ => // vacuum with everything retained: must change nothing
+          w.txLog.vacuum(keepVersions = 1000)
+      }
+      check(w.read(), view, s"after step $step")
+    }
+    // time travel: every pinned pre/post-compaction version reconstructs
+    pinned.foreach { case (v, expect) =>
+      check(w.readAsOf(v), expect, s"readAsOf($v)")
+    }
+    // and a final compact + vacuum leaves exactly the live view
+    w.compact(keepVersions = 1, minEntries = 2)
+    check(w.read(), view, "after final compact")
+  }
+
   test("mAP: perfect ranking = 1.0; worst ranking < 1; no-truth queries excluded") {
     val spark2 = spark
     import spark2.implicits._

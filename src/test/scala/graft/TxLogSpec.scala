@@ -327,6 +327,70 @@ class TxLogSpec extends SparkSpecBase {
     assert(hist.map(_._3) == Seq(1, 2, 3))
   }
 
+  test("randomized probes: manifest skipping is never lossy (range stats + point blooms)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val log = new TxLog(tmp("txlog-rand-prune"))
+    val rnd = new scala.util.Random(20260820L)
+    // 10 commits × 20 rows over overlapping random id sub-ranges and a
+    // small string alphabet (so probes hit some commits and miss others,
+    // and bloom false positives are actually possible) — the property
+    // under test is one-sided: pruning may KEEP extra entries, but every
+    // entry holding a matching row must survive, and the pruned read
+    // filtered row-level must equal the full read filtered row-level
+    val byCommit = (0 until 10).map { c =>
+      val base = rnd.nextInt(500).toLong
+      val rows = Seq.fill(20)((base + rnd.nextInt(60),
+        "" + ('a' + rnd.nextInt(8)).toChar + ('a' + rnd.nextInt(8)).toChar))
+      log.writeAppend(rows.toDF("id", "s"), batch = c,
+        statsCols = Seq("id", "s"), bloomCols = Seq("s"))
+      c.toLong -> rows
+    }.toMap
+    val allRows = byCommit.values.flatten.toSeq
+    val snap = log.snapshot()
+
+    def sortedMultiset(rows: Seq[(Long, String)]): Seq[(Long, String)] =
+      rows.sortBy(r => (r._1, r._2))
+
+    (0 until 12).foreach { _ =>
+      val lo = if (rnd.nextBoolean()) Some(rnd.nextInt(600).toLong) else None
+      val hi = if (rnd.nextBoolean()) Some(rnd.nextInt(600).toLong) else None
+      if (lo.nonEmpty || hi.nonEmpty) {
+        def matches(id: Long) =
+          lo.forall(id >= _) && hi.forall(id <= _)
+        // entry-level: every commit holding a match is kept
+        val kept = log.pruneRange(snap, "id", lo, hi).map(_.batch).toSet
+        val mustKeep = byCommit.filter(_._2.exists(r => matches(r._1))).keySet
+        assert(mustKeep.subsetOf(kept),
+          s"range [$lo,$hi] pruned a commit holding matches: want $mustKeep kept $kept")
+        // row-level: pruned read + exact predicate == full filter
+        var df = log.readRange(spark, "id", lo, hi).get
+        lo.foreach(v => df = df.where(col("id") >= v))
+        hi.foreach(v => df = df.where(col("id") <= v))
+        val got = df.select("id", "s").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        assert(sortedMultiset(got) ==
+          sortedMultiset(allRows.filter(r => matches(r._1))),
+          s"range [$lo,$hi] read mismatch")
+      }
+    }
+
+    (0 until 8).foreach { _ =>
+      val probes = Seq.fill(1 + rnd.nextInt(3))(
+        "" + ('a' + rnd.nextInt(8)).toChar + ('a' + rnd.nextInt(8)).toChar)
+      val kept = log.prunePoint(snap, "s", probes).map(_.batch).toSet
+      val mustKeep = byCommit.filter(_._2.exists(r => probes.contains(r._2))).keySet
+      assert(mustKeep.subsetOf(kept),
+        s"point IN $probes pruned a commit holding matches: want $mustKeep kept $kept")
+      val got = log.readPoint(spark, "s", probes).get
+        .where(col("s").isin(probes: _*)).select("id", "s").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(sortedMultiset(got) ==
+        sortedMultiset(allRows.filter(r => probes.contains(r._2))),
+        s"point IN $probes read mismatch")
+    }
+  }
+
   test("column stats: writeAppend stamps min/max; pruneRange skips disjoint commits, keeps stats-less ones") {
     val spark2 = spark
     import spark2.implicits._
