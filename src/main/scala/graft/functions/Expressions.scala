@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftGlue
 import org.apache.spark.sql.types._
@@ -13,6 +13,15 @@ import org.apache.spark.sql.types._
   * kernels re-expressed as native expressions rather than UDFs, so the
   * signature stage stays one codegen'd map over the scan with zero
   * serialization tax.
+  *
+  * Every expression declares [[ImplicitCastInputTypes]]: the kernels cast
+  * their inputs unchecked (`asInstanceOf[ArrayData]`/`UTF8String`), so
+  * without declared input types a mistyped SQL call (e.g.
+  * `simhash64('raw text')` instead of an array of shingle hashes)
+  * surfaces as a ClassCastException inside the OPTIMIZER's constant
+  * folding — far from the user's query — instead of a clean
+  * analysis-time type error. Declared types also buy the standard
+  * implicit numeric widenings (array<int> → array<bigint>) for free.
   */
 object Expressions {
 
@@ -21,7 +30,8 @@ object Expressions {
     * array_distinct(transform(shingles, xxhash64)) — asserted in
     * TextFunctionsSpec — at ~one kernel call per row.
     */
-  case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftGlue.SqlAbstractDataType] = Seq(StringType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
       Kernels.shingleHashSet(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
@@ -33,7 +43,8 @@ object Expressions {
 
   /** shingle-hash array -> MinHash signature (array<long>, length numHashes). */
   case class MinHashSig(child: Expression, numHashes: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftGlue.SqlAbstractDataType] = Seq(ArrayType(LongType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
       Kernels.minhashSig(input.asInstanceOf[ArrayData], numHashes)
@@ -44,7 +55,8 @@ object Expressions {
   }
 
   /** shingle-hash array -> 64-bit SimHash fingerprint. */
-  case class SimHash64(child: Expression) extends UnaryExpression {
+  case class SimHash64(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftGlue.SqlAbstractDataType] = Seq(ArrayType(LongType))
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any =
       Kernels.simhash64(input.asInstanceOf[ArrayData])
@@ -56,7 +68,8 @@ object Expressions {
 
   /** MinHash signature -> LSH band keys (array<long>, length bands). */
   case class BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftGlue.SqlAbstractDataType] = Seq(ArrayType(LongType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
       Kernels.bandKeys(input.asInstanceOf[ArrayData], bands, rowsPerBand)
@@ -69,7 +82,8 @@ object Expressions {
 
   /** Exact Jaccard between two distinct-element long arrays. */
   case class JaccardLongSets(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftGlue.SqlAbstractDataType] = Seq(ArrayType(LongType), ArrayType(LongType))
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any =
       Kernels.jaccardLongSets(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -83,7 +97,8 @@ object Expressions {
 
   /** |A ∩ B| of two distinct-element long arrays. */
   case class IntersectCountLongSets(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftGlue.SqlAbstractDataType] = Seq(ArrayType(LongType), ArrayType(LongType))
     override def dataType: DataType = LongType
     override def nullSafeEval(a: Any, b: Any): Any =
       Kernels.intersectCountLongSets(
@@ -98,7 +113,8 @@ object Expressions {
 
   /** Deterministic cosine similarity over two float arrays. */
   case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftGlue.SqlAbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any =
       Kernels.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -111,7 +127,8 @@ object Expressions {
 
   /** normalized text -> winnowing fingerprint hashes (array<long>). */
   case class WinnowHashes(child: Expression, w: Int, p: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftGlue.SqlAbstractDataType] = Seq(StringType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
       Kernels.winnowHashes(
@@ -128,7 +145,8 @@ object Expressions {
     */
   case class NearestCentroids(child: Expression,
                               centroids: Array[Array[Float]], nProbe: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftGlue.SqlAbstractDataType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
       Kernels.nearestCentroids(input.asInstanceOf[ArrayData], centroids, nProbe)
@@ -145,7 +163,8 @@ object Expressions {
     * in one kernel pass (the explode/groupBy formulation in
     * `Curation.repetitionStatsExploded` is the semantic oracle).
     */
-  case class RepetitionStats(child: Expression) extends UnaryExpression {
+  case class RepetitionStats(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftGlue.SqlAbstractDataType] = Seq(StringType)
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
       Kernels.repetitionStats(
@@ -159,7 +178,8 @@ object Expressions {
   /** text -> deflate compression ratio (double) — fixture-pinned
     * quality signal (see Kernels.compressionRatio).
     */
-  case class CompressionRatio(child: Expression) extends UnaryExpression {
+  case class CompressionRatio(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftGlue.SqlAbstractDataType] = Seq(StringType)
     override def dataType: DataType = DoubleType
     override def nullSafeEval(input: Any): Any =
       Kernels.compressionRatio(
@@ -172,7 +192,8 @@ object Expressions {
 
   /** Signed-random-projection sign-bit signature of a float embedding. */
   case class SrpSig(child: Expression, bits: Int, table: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftGlue.SqlAbstractDataType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any =
       Kernels.srpSig(input.asInstanceOf[ArrayData], bits, table)

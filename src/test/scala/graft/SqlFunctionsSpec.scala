@@ -48,6 +48,28 @@ class SqlFunctionsSpec extends SparkSpecBase {
     assert(rSql == rApi)
   }
 
+  test("mistyped SQL calls fail at analysis, not as optimizer ClassCastExceptions") {
+    GraftFunctions.registerAll(spark)
+    // regression: the kernels cast unchecked, so before inputTypes were
+    // declared, simhash64 over a raw string CCE'd inside ConstantFolding
+    // — an optimizer stack trace pointing nowhere near the user's query
+    val e1 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT simhash64('raw text, not shingles')").collect())
+    assert(e1.getMessage.toLowerCase.contains("type"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT cosine_sim(array(1L, 2L), 'oops')").collect())
+    assert(e2.getMessage.toLowerCase.contains("type"))
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT minhash_sig(42, 128)").collect())
+    // declared types buy the standard implicit widenings: an int-literal
+    // array coerces to array<bigint> and matches the long-array path
+    val widened = spark.sql(
+      "SELECT simhash64(array(1, 2, 3)) AS sh").head.getLong(0)
+    val exact = spark.sql(
+      "SELECT simhash64(array(1L, 2L, 3L)) AS sh").head.getLong(0)
+    assert(widened == exact)
+  }
+
   test("full LSH pair query expressible in pure SQL matches Dedup.pairs") {
     GraftFunctions.registerAll(spark)
     val cfg = DedupConfig()
