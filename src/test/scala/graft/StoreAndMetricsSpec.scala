@@ -183,4 +183,56 @@ class StoreAndMetricsSpec extends SparkSpecBase {
     val (p, r) = Metrics.pairPrecisionRecall(pred, truth)
     assert(p == 0.5 && r == 0.5)
   }
+
+  test("randomized PR curve matches an in-memory reference model") {
+    val spark2 = spark
+    import spark2.implicits._
+
+    // straight-line restatement of the protocol: per query with truth,
+    // interpolated max precision over cuts reaching each grid recall
+    // (0 when never reached), mean over queries, recall-0 pinned at 1
+    def refCurve(ranked: Seq[(Long, Long, Int)],
+                 truth: Set[(Long, Long)]): Seq[Double] = {
+      val queries = truth.map(_._1).toSeq.sorted
+      val perQ = queries.map { q =>
+        val nTrue = truth.count(_._1 == q)
+        var cum = 0
+        val cuts = ranked.filter(_._1 == q).sortBy(_._3).map {
+          case (_, n, rank) =>
+            if (truth((q, n))) cum += 1
+            (cum, rank)
+        }
+        (1 to 20).map { i =>
+          val reaching = cuts.filter { case (c, _) => 20 * c >= i * nTrue }
+          if (reaching.isEmpty) 0.0
+          else reaching.map { case (c, r) => c.toDouble / r }.max
+        }
+      }
+      1.0 +: (1 to 20).map(i => perQ.map(_(i - 1)).sum / perQ.size)
+    }
+
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val nQ = 1 + rnd.nextInt(7)
+      val pool = (0L until 25L).toVector
+      val truth = (1L to nQ).flatMap { q =>
+        rnd.shuffle(pool).take(rnd.nextInt(6)).map(n => (q, n))
+      }.toSet
+      val ranked = (1L to nQ).flatMap { q =>
+        rnd.shuffle(pool).take(rnd.nextInt(12))
+          .zipWithIndex.map { case (n, i) => (q, n, i + 1) }
+      }
+      if (truth.nonEmpty) {
+        val curve = Metrics.prCurve(
+          ranked.toDF("query_id", "neighbor_id", "rank"),
+          truth.toSeq.toDF("query_id", "neighbor_id"))
+        val expect = refCurve(ranked, truth)
+        assert(curve.size == 21 && expect.size == 21)
+        curve.zip(expect).zipWithIndex.foreach { case ((got, exp), i) =>
+          assert(math.abs(got - exp) < 1e-12,
+            s"seed $seed level ${i * 0.05}: got $got expected $exp")
+        }
+      }
+    }
+  }
 }
