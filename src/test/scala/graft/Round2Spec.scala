@@ -570,7 +570,7 @@ class Round2Spec extends SparkSpecBase {
   test("prefix filter completeness (property): random corpora x thresholds match brute force") {
     val spark2 = spark
     import spark2.implicits._
-    val rnd = new scala.util.Random(4242L)
+    val rnd = new scala.util.Random(fuzzSeed(4242L))
     // tiny vocabulary forces heavy shingle overlap — worst case for a
     // buggy prefix bound (qualifying pairs whose shared shingles are all
     // near the hot end of the frequency order)

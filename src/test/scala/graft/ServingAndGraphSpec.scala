@@ -123,7 +123,7 @@ class ServingAndGraphSpec extends SparkSpecBase {
   test("connected components (property): random sparse-id graphs match a local union-find") {
     val spark2 = spark
     import spark2.implicits._
-    val rnd = new scala.util.Random(20260819L)
+    val rnd = new scala.util.Random(fuzzSeed(20260819L))
     for (trial <- 0 until 5) {
       val n = 30 + rnd.nextInt(50)
       // sparse, shuffled ids — the label-by-min convention must hold on

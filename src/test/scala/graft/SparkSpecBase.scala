@@ -8,6 +8,14 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpecBase.session
   def sfDir: String = "/root/testdata/sf0.001"
+
+  /** Seed for the randomized model tests: fixed per test by default
+    * (deterministic CI), overridable with GRAFT_FUZZ_SEED to drive the
+    * same properties through a different region of the input space
+    * (one-off fuzz campaigns; the committed default never changes).
+    */
+  def fuzzSeed(default: Long): Long =
+    sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(default)
 }
 
 object SparkSpecBase {

@@ -38,7 +38,7 @@ class StoreAndMetricsSpec extends SparkSpecBase {
     import spark2.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-merge-rand").toString
     val w = new MergeWriter(spark, dir, Seq("k"))
-    val rnd = new scala.util.Random(20260819L)
+    val rnd = new scala.util.Random(fuzzSeed(20260819L))
     val keySpace = (0 until 12).map(i => f"k$i%02d")
 
     // exact model: the store's view is the batch-id-ordered fold of the

@@ -331,7 +331,7 @@ class TxLogSpec extends SparkSpecBase {
     val spark2 = spark
     import spark2.implicits._
     val log = new TxLog(tmp("txlog-rand-prune"))
-    val rnd = new scala.util.Random(20260820L)
+    val rnd = new scala.util.Random(fuzzSeed(20260820L))
     // 10 commits × 20 rows over overlapping random id sub-ranges and a
     // small string alphabet (so probes hit some commits and miss others,
     // and bloom false positives are actually possible) — the property
