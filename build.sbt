@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default raised 8g -> 16g for the bench surface (round 6): the full
+  // 61-query run accumulates checkpointed pair tables and per-query
+  // cache churn, and at 8g the later heavy queries ran 2-3x slower
+  // in-context than isolated (storage eviction + GC pressure, guide §5).
+  // Parameterised: production drivers size this to their own fleet.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

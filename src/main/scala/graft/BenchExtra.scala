@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, DedupConfig}
+
+/** Round-6 optimization instrumentation (guide §1.4): noop-sink stage
+  * isolation for the expensive queries plus `.explain("formatted")`
+  * dumps under plans/r06/. NOT part of the driver contract — Bench.scala
+  * is the frozen measurement harness; numbers from here are cited in
+  * OPTIMIZATION_r06.md only.
+  *
+  * Usage:
+  *   sbt "runMain graft.BenchExtra plans <suffix>"   — dump query plans
+  *   sbt "runMain graft.BenchExtra stages"           — stage timings
+  */
+object BenchExtra {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val mode = args.headOption.getOrElse("stages")
+    if (mode == "plans") dumpPlans(spark, sfDir, args.lift(1).getOrElse("before"))
+    else stages(spark, sfDir)
+    spark.stop()
+  }
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** min-of-reps timing with a noop sink (computes every column). */
+  private def t(spark: SparkSession, name: String, reps: Int = 2)(f: => DataFrame): DataFrame = {
+    spark.sparkContext.setJobDescription(name)
+    var last: DataFrame = null
+    val sec = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      last = f
+      noop(last)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    println(f"[stage] $name%-44s $sec%8.3f s")
+    spark.sparkContext.setJobDescription(null)
+    last
+  }
+
+  private def rows(name: String, df: DataFrame): Unit =
+    println(f"[count] $name%-44s ${df.count()}%12d rows")
+
+  /** Plans for every query the round touches (judge evidence). */
+  def dumpPlans(spark: SparkSession, sfDir: String, suffix: String): Unit = {
+    val dir = new java.io.File("/root/repo/plans/r06")
+    dir.mkdirs()
+    val names = sys.env.get("SPARK_GRAFT_PLANS_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if names.forall(_.contains(name))) {
+      try {
+        val df = fn(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val f = new java.io.File(dir, s"${name}_$suffix.txt")
+        val w = new java.io.PrintWriter(f)
+        try w.write(plan) finally w.close()
+        println(s"[plan] wrote ${f.getPath}")
+      } catch {
+        case e: Throwable => println(s"[plan] $name FAILED: ${e.getMessage}")
+      }
+    }
+  }
+
+  /** Stage isolation for the heavy queries (numbers for OPTIMIZATION_r06.md). */
+  def stages(spark: SparkSession, sfDir: String): Unit = {
+    val cfg = SparkEntry.cfg
+    val docs = Dedup.fromDocuments(spark.read.parquet(s"$sfDir/documents.parquet"))
+      .localCheckpoint(true)
+    println(s"[info] docs=${docs.count()}")
+
+    // ---- q_containment_pairs ------------------------------------------
+    val tau = 0.6
+    val shingled = Dedup.shingleSets(docs, cfg).localCheckpoint(true)
+    t(spark, "cp: shingleSets")(Dedup.shingleSets(docs, cfg))
+    val sh = shingled.select(col("id"), size(col("shingles")).as("c"),
+      explode(col("shingles")).as("h"))
+    t(spark, "cp: explode sh")(sh)
+    rows("cp: sh rows", sh)
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    t(spark, "cp: freq agg")(freq)
+    rows("cp: distinct shingles", freq)
+    import org.apache.spark.sql.expressions.Window
+    val prefix = sh.join(freq, "h")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("h"))))
+      .where(col("rn") <= col("c") - ceil(col("c") * tau) + 2)
+      .select(col("id"), col("h"), col("c"))
+    t(spark, "cp: prefix (join+window)")(prefix)
+    rows("cp: prefix rows", prefix)
+    def pairCond = col("a.h") === col("b.h") &&
+      (col("a.c") < col("b.c") ||
+        (col("a.c") === col("b.c") && col("a.id") < col("b.id")))
+    val cands = prefix.as("a").join(sh.as("b"), pairCond)
+      .select(col("a.id").as("small_id"), col("b.id").as("big_id"))
+      .distinct()
+    t(spark, "cp: cand join+distinct (no hot split)")(cands)
+    rows("cp: candidate pairs", cands)
+    val candsC = cands.localCheckpoint(true)
+    val sa = shingled.select(col("id").as("small_id"), col("shingles").as("sh_a"))
+    val sb = shingled.select(col("id").as("big_id"), col("shingles").as("sh_b"))
+    t(spark, "cp: verify join")(
+      candsC.join(sa, "small_id").join(sb, "big_id")
+        .withColumn("containment",
+          graft.functions.Expressions.intersectCount(col("sh_a"), col("sh_b"))
+            .cast("double") / size(col("sh_a")))
+        .where(col("containment") >= tau))
+    t(spark, "cp: FULL containmentPairs")(
+      Dedup.containmentPairs(docs, cfg, tau = 0.6))
+
+    // ---- q_ngram_jaccard_pairs ----------------------------------------
+    val pc = Dedup.prefixCandidates(shingled, cfg)
+    t(spark, "ng: prefixCandidates tau=.5")(pc)
+    rows("ng: prefix candidates", pc)
+    t(spark, "ng: FULL exactJaccardPairsPrefix")(
+      Dedup.exactJaccardPairsPrefix(docs, cfg))
+
+    // ---- q_substring_containment --------------------------------------
+    val lowCfg = cfg.copy(threshold = 0.3)
+    val pc3 = Dedup.prefixCandidates(shingled, lowCfg)
+    t(spark, "ss: prefixCandidates tau=.3")(pc3)
+    rows("ss: prefix candidates tau=.3", pc3)
+    val cands3 = t(spark, "ss: FULL exactJaccardPairsPrefix tau=.3")(
+      Dedup.exactJaccardPairsPrefix(docs, lowCfg))
+    rows("ss: verified pairs tau=.3", cands3)
+    t(spark, "ss: ExactSubstring pass only")(
+      graft.pipeline.ExactSubstring.containmentPairs(cands3, docs))
+
+    // ---- pipeline_clusters -------------------------------------------
+    val sigs = Dedup.signatures(shingled, cfg)
+    t(spark, "pl: signatures")(sigs)
+    val bands = Dedup.bandTable(Dedup.validSignatures(sigs), cfg)
+    t(spark, "pl: bandTable")(bands)
+    rows("pl: band rows", bands)
+    val cp = Dedup.candidatePairs(bands)
+    t(spark, "pl: candidatePairs")(cp)
+    rows("pl: lsh candidates", cp)
+    val cpC = cp.localCheckpoint(true)
+    t(spark, "pl: verifiedPairs")(Dedup.verifiedPairs(cpC, shingled, cfg))
+    val pairs = Dedup.pairsMaterialized(docs, cfg)
+    t(spark, "pl: clusters (cc only)")(Dedup.clusters(pairs))
+    spark.sparkContext.setJobDescription("pl: full pipeline")
+    val t0 = System.nanoTime()
+    Dedup.clusters(Dedup.pairsMaterialized(docs, cfg)).count()
+    println(f"[stage] ${"pl: FULL pipeline (count, bench shape)"}%-44s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+
+    // ---- q_audio_dedup ------------------------------------------------
+    import graft.multimodal.BinaryPipeline
+    val audio = SparkEntry.syntheticAudio(spark, sfDir)
+    t(spark, "au: synth wav only")(audio)
+    val audioC = audio.localCheckpoint(true)
+    val frames = BinaryPipeline.audioFrames(audioC)
+    t(spark, "au: audioFrames (decode+fft)")(frames.toDF())
+    val emb = BinaryPipeline.itemEmbedding(frames)
+      .select(col("id"),
+        expr("transform(embedding, x -> cast(x as float))").as("embedding"))
+    t(spark, "au: itemEmbedding")(emb)
+    val embC = emb.localCheckpoint(true)
+    t(spark, "au: srpThresholdPairs")(
+      graft.functions.Embeddings.srpThresholdPairs(embC, SparkEntry.audioDedupThreshold))
+    t(spark, "au: FULL q_audio_dedup")(
+      SparkEntry.queries("q_audio_dedup")(spark, sfDir))
+
+    // ---- q_media_dedup ------------------------------------------------
+    t(spark, "me: synth bmp only")(SparkEntry.syntheticMedia(spark, sfDir))
+    t(spark, "me: FULL q_media_dedup")(
+      SparkEntry.queries("q_media_dedup")(spark, sfDir))
+
+    // ---- ANN family ---------------------------------------------------
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    t(spark, "ann: bruteForceTopK")(graft.functions.Embeddings.bruteForceTopK(e, e, 5))
+    t(spark, "ann: srpTopK")(graft.functions.Embeddings.srpTopK(e, 5))
+    t(spark, "ann: FULL q_ann_ivf")(SparkEntry.queries("q_ann_ivf")(spark, sfDir))
+    t(spark, "ann: FULL q_semantic_dedup")(SparkEntry.queries("q_semantic_dedup")(spark, sfDir))
+  }
+}

@@ -112,9 +112,17 @@ object Dedup {
       saltBuckets: Int = 1): DataFrame = {
     val pairs =
       if (saltBuckets <= 1) {
-        val l = bands.select(col("band_key"), col("id").as("id_a"))
-        val r = bands.select(col("band_key"), col("id").as("id_b"))
-        l.join(r, "band_key").where(col("id_a") < col("id_b"))
+        // both join legs are the IDENTICAL subtree (no per-side alias
+        // projection): under a shuffle join Catalyst's ReuseExchange
+        // collapses them to one exchange, and under a broadcast join the
+        // per-side canonical plans still match — the round-5 shape
+        // (id->id_a vs id->id_b projections) planned two distinct legs
+        // and re-executed the band lineage per side (guide §2.4)
+        val base = bands.select(col("band_key"), col("id"))
+        base.as("a").join(base.as("b"),
+            col("a.band_key") === col("b.band_key") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       } else {
         // Salted self-join: left side gets a deterministic salt in
         // [0, s); right side is replicated to every salt. Each unordered
@@ -221,8 +229,18 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val sigs = signatures(shingled, cfg)
-      val cands = candidatePairs(bandTable(validSignatures(sigs), cfg), saltBuckets)
-      verifiedPairs(cands, shingled, cfg).localCheckpoint(true)
+      // the band table feeds BOTH legs of the candidate self-join; when
+      // the planner picks a broadcast join the legs cannot share an
+      // exchange, so without this persist the signature kernel + banding
+      // would execute once per leg (guide §2.4 — the skew-aware variant
+      // already materializes for the same reason). Narrow rows (~40
+      // bands/doc), unpersisted as soon as the pair set is materialized.
+      val bands = bandTable(validSignatures(sigs), cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cands = candidatePairs(bands, saltBuckets)
+        verifiedPairs(cands, shingled, cfg).localCheckpoint(true)
+      } finally bands.unpersist()
     } finally shingled.unpersist()
   }
 
@@ -275,38 +293,78 @@ object Dedup {
   def exactJaccardPairsPrefix(docs: DataFrame, cfg: DedupConfig): DataFrame = {
     val shingled = shingleSets(docs, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try verifiedPairs(prefixCandidates(shingled, cfg), shingled, cfg)
-      .localCheckpoint(true)
-    finally shingled.unpersist()
+    try {
+      // the prefix table feeds BOTH legs of the candidate self-join:
+      // persisted so a broadcast-planned join cannot re-run the
+      // freq-join + window lineage per leg (guide §2.4); narrow rows,
+      // dropped as soon as the pair set is materialized
+      val prefix = prefixTable(rankedIndex(shingled), cfg.threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // lazy persist is enough here (unlike containmentPairs' 4-leg
+      // ranked cache): a broadcast-planned self-join builds its
+      // broadcast side BEFORE the probe stage runs, so the first leg
+      // populates the cache and the second reads it — no concurrent
+      // cold-cache scans, and an eager count would be one extra job
+      try verifiedPairs(pairCandidatesFromPrefix(prefix, cfg.threshold),
+          shingled, cfg)
+        .localCheckpoint(true)
+      finally prefix.unpersist()
+    } finally shingled.unpersist()
   }
+
+  /** Ranked inverted index behind every prefix-filter operator: one row
+    * per (doc, shingle) with the doc's cardinality `c`, the shingle's
+    * corpus document frequency `df`, and `rn` = the shingle's 1-based
+    * position in the doc's rarest-first (df asc, hash asc) order. ONE
+    * freq aggregation + ONE window; consumers slice it with plain
+    * filters (prefix bound, hot/cold df split) instead of re-joining.
+    */
+  private[graft] def rankedIndex(shingled: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingled.select(col("id"), size(col("shingles")).as("c"),
+      explode(col("shingles")).as("h"))
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    sh.join(freq, "h")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("h"))))
+  }
+
+  /** Prefix slice of [[rankedIndex]] for symmetric Jaccard at `tau`.
+    * +2 not +1: verification compares the DOUBLE quotient against tau,
+    * which can round up across tau while ceil(c*tau) lands one above
+    * the achievable overlap — one element of window slack makes the
+    * prefix bound robust to that boundary (extra candidates are
+    * removed by the exact verify, so the pair set is unchanged).
+    */
+  private def prefixTable(ranked: DataFrame, tau: Double): DataFrame =
+    ranked.where(col("rn") <= col("c") - ceil(col("c") * tau) + 2)
+      .select("id", "h", "c", "rn")
+
+  private def pairCandidatesFromPrefix(prefix: DataFrame, tau: Double): DataFrame =
+    prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          // length pruning with the same one-unit boundary slack
+          col("b.c") * tau <= col("a.c") + 1 &&
+          col("a.c") * tau <= col("b.c") + 1 &&
+          // POSITIONAL filter (PPJoin): a true pair's FIRST shared
+          // element (rarest-first order) sits inside both prefixes and
+          // bounds the overlap by 1 + min(remaining elements per side);
+          // join rows that cannot reach the required tau*max(|A|,|B|)
+          // overlap (one element of double slack, as above) are pruned.
+          // The first-shared-element row always survives, so candidate
+          // completeness is unchanged — exact verify removes extras.
+          lit(1) + least(col("a.c") - col("a.rn"), col("b.c") - col("b.rn")) >=
+            greatest(col("a.c"), col("b.c")) * tau - 1)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
 
   /** Prefix-filtered candidate pairs (see [[exactJaccardPairsPrefix]]).
     * Exposed for the pruning-evidence test comparing candidate volume
     * against the complete inverted-index join.
     */
-  private[graft] def prefixCandidates(shingled: DataFrame, cfg: DedupConfig): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = shingled.select(col("id"), size(col("shingles")).as("c"),
-      explode(col("shingles")).as("h"))
-    val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    // +2 not +1: verification compares the DOUBLE quotient against tau,
-    // which can round up across tau while ceil(c*tau) lands one above
-    // the achievable overlap — one element of window slack makes the
-    // prefix bound robust to that boundary (extra candidates are
-    // removed by the exact verify, so the pair set is unchanged)
-    val prefix = sh.join(freq, "h")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("id").orderBy(col("df"), col("h"))))
-      .where(col("rn") <= col("c") - ceil(col("c") * cfg.threshold) + 2)
-      .select("id", "h", "c")
-    prefix.as("a").join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
-          // length pruning with the same one-unit boundary slack
-          col("b.c") * cfg.threshold <= col("a.c") + 1 &&
-          col("a.c") * cfg.threshold <= col("b.c") + 1)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-  }
+  private[graft] def prefixCandidates(shingled: DataFrame, cfg: DedupConfig): DataFrame =
+    pairCandidatesFromPrefix(
+      prefixTable(rankedIndex(shingled), cfg.threshold), cfg.threshold)
 
   /** Fuzzy set-containment pairs: |A∩B| / min(|A|,|B|) >= tau over the
     * word-k-gram shingle sets — the edit-robust complement of the exact
@@ -343,60 +401,74 @@ object Dedup {
     // materialize=false returns the LAZY plan (no persist/checkpoint) —
     // for plan inspection (DumpPlans): localCheckpoint collapses the
     // lineage to Scan ExistingRDD, hiding the join shape
-    import org.apache.spark.sql.expressions.Window
     val shingled0 = shingleSets(docs, cfg)
     val shingled =
       if (materialize)
         shingled0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else shingled0
     try {
-      val sh = shingled.select(col("id"), size(col("shingles")).as("c"),
-        explode(col("shingles")).as("h"))
-      val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
-      // +2 not +1: the verify predicate is the DOUBLE quotient i/|A| >=
-      // tau, which can round up across tau while ceil(c*tau) = i+1 in
-      // exact arithmetic — one element of slack keeps the window
-      // complete at such boundaries (exact verify removes the extras)
-      val prefix = sh.join(freq, "h")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("id").orderBy(col("df"), col("h"))))
-        .where(col("rn") <= col("c") - ceil(col("c") * tau) + 2)
-        .select(col("id"), col("h"), col("c"))
-      // pairing condition: each unordered pair generated exactly once
-      // with A the min-cardinality (contained) side
-      def pairCond = col("a.h") === col("b.h") &&
-        (col("a.c") < col("b.c") ||
-          (col("a.c") === col("b.c") && col("a.id") < col("b.id")))
-      // measured hot-key split (df already computed for the prefix
-      // order): the hot-key set is tiny by construction and broadcast
-      val hotKeys = freq.where(col("df") > hotCap).select("h")
-      val shCold = sh.join(broadcast(hotKeys), Seq("h"), "left_anti")
-      val shHot = sh.join(broadcast(hotKeys), Seq("h"), "left_semi")
-      val prefCold = prefix.join(broadcast(hotKeys), Seq("h"), "left_anti")
-      val prefHot = prefix.join(broadcast(hotKeys), Seq("h"), "left_semi")
-      val coldCands = prefCold.as("a").join(shCold.as("b"), pairCond)
-        .select(col("a.id").as("small_id"), col("b.id").as("big_id"))
-      // hot keys: containing index salted by its doc id, prefix side
-      // replicated to every salt — each (h, salt) task sees ~f/salt
-      // index rows instead of the full f-row bucket
-      val hotCands = prefHot
-        .withColumn("salt", explode(sequence(lit(0), lit(saltBuckets - 1)))).as("a")
-        .join(shHot.withColumn("salt",
-          pmod(xxhash64(col("id")), lit(saltBuckets))).as("b"),
-          pairCond && col("a.salt") === col("b.salt"))
-        .select(col("a.id").as("small_id"), col("b.id").as("big_id"))
-      val cands = coldCands.union(hotCands).distinct()
-      val sa = shingled.select(col("id").as("small_id"), col("shingles").as("sh_a"))
-      val sb = shingled.select(col("id").as("big_id"), col("shingles").as("sh_b"))
-      val result = cands.join(sa, "small_id").join(sb, "big_id")
-        .withColumn("containment",
-          graft.functions.Expressions.intersectCount(col("sh_a"), col("sh_b"))
-            .cast("double") / size(col("sh_a")))
-        .where(col("containment") >= tau)
-        .select(least(col("small_id"), col("big_id")).as("id_a"),
-          greatest(col("small_id"), col("big_id")).as("id_b"),
-          col("containment"))
-      if (materialize) result.localCheckpoint(true) else result
+      // ONE ranked inverted index (id, c, h, df, rn) feeds every slice
+      // below. The round-5 shape re-derived the exploded table per
+      // consumer and resolved hot/cold membership with four broadcast
+      // semi/anti joins against the hot-key set; df riding each row
+      // makes that membership a plain filter and the prefix bound a
+      // plain filter — no extra joins, no broadcasts (guide §2.4).
+      // Persisted (when eager) because four join legs consume it.
+      val ranked0 = rankedIndex(shingled)
+      val ranked =
+        if (materialize)
+          ranked0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else ranked0
+      // populate the cache EAGERLY: the four join legs below run as
+      // concurrent stages of one job, and concurrent scans of a cold
+      // cache each recompute the freq-join + window lineage (block
+      // store is compute-then-publish, not compute-once) — measured
+      // 2x slower than a single eager pass at sf0.1
+      if (materialize) ranked.count(): Unit
+      try {
+        // +2 not +1: the verify predicate is the DOUBLE quotient i/|A| >=
+        // tau, which can round up across tau while ceil(c*tau) = i+1 in
+        // exact arithmetic — one element of slack keeps the window
+        // complete at such boundaries (exact verify removes the extras)
+        val prefix = ranked
+          .where(col("rn") <= col("c") - ceil(col("c") * tau) + 2)
+        // pairing condition: each unordered pair generated exactly once
+        // with A the min-cardinality (contained) side. The POSITIONAL
+        // clause (PPJoin): a true pair's FIRST shared element bounds the
+        // overlap by 1 + min(remaining per side) and always survives the
+        // filter itself (one element of double slack, like the prefix
+        // bound), so completeness is unchanged while late-position-only
+        // collisions stop becoming candidates.
+        def pairCond = col("a.h") === col("b.h") &&
+          (col("a.c") < col("b.c") ||
+            (col("a.c") === col("b.c") && col("a.id") < col("b.id"))) &&
+          lit(1) + least(col("a.c") - col("a.rn"), col("b.c") - col("b.rn")) >=
+            col("a.c") * tau - 1
+        // measured hot-key split, now a df filter per side: cold keys
+        // take the plain asymmetric join; hot keys (df > hotCap) are
+        // salted so no join task materializes a full f-row bucket
+        val coldCands = prefix.where(col("df") <= hotCap).as("a")
+          .join(ranked.where(col("df") <= hotCap).as("b"), pairCond)
+          .select(col("a.id").as("small_id"), col("b.id").as("big_id"))
+        val hotCands = prefix.where(col("df") > hotCap)
+          .withColumn("salt", explode(sequence(lit(0), lit(saltBuckets - 1)))).as("a")
+          .join(ranked.where(col("df") > hotCap).withColumn("salt",
+            pmod(xxhash64(col("id")), lit(saltBuckets))).as("b"),
+            pairCond && col("a.salt") === col("b.salt"))
+          .select(col("a.id").as("small_id"), col("b.id").as("big_id"))
+        val cands = coldCands.union(hotCands).distinct()
+        val sa = shingled.select(col("id").as("small_id"), col("shingles").as("sh_a"))
+        val sb = shingled.select(col("id").as("big_id"), col("shingles").as("sh_b"))
+        val result = cands.join(sa, "small_id").join(sb, "big_id")
+          .withColumn("containment",
+            graft.functions.Expressions.intersectCount(col("sh_a"), col("sh_b"))
+              .cast("double") / size(col("sh_a")))
+          .where(col("containment") >= tau)
+          .select(least(col("small_id"), col("big_id")).as("id_a"),
+            greatest(col("small_id"), col("big_id")).as("id_b"),
+            col("containment"))
+        if (materialize) result.localCheckpoint(true) else result
+      } finally { if (materialize) { ranked.unpersist(); () } }
     } finally { if (materialize) { shingled.unpersist(); () } }
   }
 

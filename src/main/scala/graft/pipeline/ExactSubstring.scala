@@ -16,37 +16,86 @@ import org.apache.spark.sql.functions._
   */
 object ExactSubstring {
 
-  /** Suffix array of `s` (indices of sorted suffixes). O(n log^2 n)
-    * prefix-doubling; n here is a single document (~KBs), built
-    * per-pair inside a task.
+  /** Suffix array of `s` (indices of sorted suffixes). Counting-sort
+    * (radix) prefix doubling — O(n log n), all-primitive loops: each
+    * round is two stable LSD passes (bucket by second-key order, then
+    * counting sort by first-key rank) instead of the round-5 shape's
+    * comparison sort through a boxing `Ordering[Int]` (O(n log^2 n)
+    * with per-compare allocation). The suffix array of a string is
+    * unique, so the output is bit-identical to the old builder; the
+    * randomized SA property in FunctionsSpec pins it. n here is a
+    * single document (~KBs), built per hay doc inside a task.
     */
   def suffixArray(s: String): Array[Int] = {
     val n = s.length
-    val sa = Array.tabulate(n)(identity)
-    var rank = Array.tabulate(n)(i => s.charAt(i).toInt)
+    val sa = new Array[Int](n)
+    if (n == 0) return sa
+    if (n == 1) return sa // sa(0) = 0 already
+    var rank = new Array[Int](n)
     var tmp = new Array[Int](n)
-    var k = 1
-    val ord = new Ordering[Int] {
-      var kk = 1
-      def compare(a: Int, b: Int): Int = {
-        if (rank(a) != rank(b)) return rank(a) - rank(b)
-        val ra = if (a + kk < n) rank(a + kk) else -1
-        val rb = if (b + kk < n) rank(b + kk) else -1
-        ra - rb
-      }
+    val order2 = new Array[Int](n)
+    var i = 0
+    while (i < n) { rank(i) = s.charAt(i).toInt; i += 1 }
+    val cnt = new Array[Int](math.max(65536, n) + 1)
+    // stable counting sort of src by rank(.) into dst (ranks <= bound)
+    def sortByRank(src: Array[Int], dst: Array[Int], bound: Int): Unit = {
+      java.util.Arrays.fill(cnt, 0, bound + 1, 0)
+      var j = 0
+      while (j < n) { cnt(rank(j)) += 1; j += 1 }
+      var sum = 0
+      var v = 0
+      while (v <= bound) { val c = cnt(v); cnt(v) = sum; sum += c; v += 1 }
+      j = 0
+      while (j < n) { val x = src(j); dst(cnt(rank(x))) = x; cnt(rank(x)) += 1; j += 1 }
     }
+    // round 0: sort by first char, compact ranks
+    i = 0
+    while (i < n) { order2(i) = i; i += 1 }
+    sortByRank(order2, sa, 65535)
+    var r = 0
+    tmp(sa(0)) = 0
+    i = 1
+    while (i < n) {
+      if (rank(sa(i)) != rank(sa(i - 1))) r += 1
+      tmp(sa(i)) = r
+      i += 1
+    }
+    locally { val t = rank; rank = tmp; tmp = t }
+    if (r == n - 1) return sa
+    var bound = r
+    var k = 1
     while (k < n) {
-      ord.kk = k
-      scala.util.Sorting.stableSort(sa)(ord)
-      tmp(sa(0)) = 0
-      var i = 1
+      // order by second key rank(i+k): suffixes with no second key
+      // (i >= n-k) sort first; the rest follow in sa's current order
+      // shifted by k (any consistent order among exact ties is fine —
+      // tied suffixes receive the same rank below)
+      var p = 0
+      i = n - k
+      while (i < n) { order2(p) = i; p += 1; i += 1 }
+      i = 0
       while (i < n) {
-        tmp(sa(i)) = tmp(sa(i - 1)) + (if (ord.compare(sa(i - 1), sa(i)) < 0) 1 else 0)
+        val x = sa(i); if (x >= k) { order2(p) = x - k; p += 1 }
         i += 1
       }
-      val t = rank; rank = tmp; tmp = t
-      if (rank(sa(n - 1)) == n - 1) k = n // all distinct: done
-      else k <<= 1
+      sortByRank(order2, sa, bound) // stable: preserves second-key order
+      // compact ranks by (rank, rank at +k) pair equality along sa
+      tmp(sa(0)) = 0
+      r = 0
+      i = 1
+      while (i < n) {
+        val a = sa(i - 1); val b = sa(i)
+        val ra = if (a + k < n) rank(a + k) else -1
+        val rb = if (b + k < n) rank(b + k) else -1
+        if (rank(a) != rank(b) || ra != rb) r += 1
+        tmp(sa(i)) = r
+        i += 1
+      }
+      locally { val t = rank; rank = tmp; tmp = t }
+      // all suffixes have distinct lengths, so ranks always separate
+      // fully once 2k >= n — the loop exits through here
+      if (r == n - 1) return sa
+      bound = r
+      k <<= 1
     }
     sa
   }

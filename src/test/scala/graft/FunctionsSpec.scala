@@ -97,6 +97,23 @@ class FunctionsSpec extends SparkSpecBase {
     }
   }
 
+  test("radix suffix array == brute-force sorted suffixes (round-6 rewrite, larger n)") {
+    // the counting-sort doubling rewrite must emit the UNIQUE sorted
+    // suffix order at sizes past the property test's n<=60 — including
+    // highly repetitive strings (rank-tie regime) and the 2-char edge
+    val rnd = new scala.util.Random(20260822L)
+    val cases = Seq(
+      "aa", "ab", "ba", "aaaaaaaaaa", "abab" * 200,
+      ("abc" * 1000) + "d",
+      Array.fill(3000)("ab".charAt(rnd.nextInt(2))).mkString,
+      Array.fill(2048)(('a' + rnd.nextInt(26)).toChar).mkString)
+    cases.foreach { s =>
+      val got = graft.pipeline.ExactSubstring.suffixArray(s).toSeq
+      val want = (0 until s.length).sortBy(s.substring(_): String)
+      assert(got == want, s"suffix array mismatch on n=${s.length}")
+    }
+  }
+
   test("minhash merge is commutative/associative/idempotent (property)") {
     val agg = new MinHash.MinHashAgg(8)
     forAll2(Gen.listOf(Gen.long), Gen.listOf(Gen.long)) { (xs: List[Long], ys: List[Long]) =>
