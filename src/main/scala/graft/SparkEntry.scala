@@ -141,10 +141,26 @@ object SparkEntry {
     * load-bearing for the committed fixture, so it must not fork.
     */
   private[graft] val mediaDedupThreshold = 0.9995
+
+  /** Parallelism floor for the synthetic-media generators: the doc-id
+    * scan is one sub-openCost parquet split, which would pin the whole
+    * synthesize -> decode -> featurize chain to a single core. Derived
+    * from the input (no-op once the scan has >= defaultParallelism
+    * splits); every downstream value is per-row or single-frame-exact,
+    * so the result bits cannot change.
+    */
+  private def docIdsParallel(s: SparkSession, dir: String): DataFrame = {
+    val ids = documents(s, dir).select(col("doc_id"))
+    val p = s.sparkContext.defaultParallelism
+    // round-robin, not range: repartitionByRange runs a separate
+    // sampling job per invocation, which cost more than it saved here
+    if (ids.rdd.getNumPartitions >= p) ids else ids.repartition(p)
+  }
+
   private[graft] def syntheticMedia(s: SparkSession, dir: String): DataFrame = {
     val spark2 = s
     import spark2.implicits._
-    documents(s, dir).select(col("doc_id")).as[Long]
+    docIdsParallel(s, dir).as[Long]
       .map(d => (d.toString,
         graft.multimodal.BinaryPipeline.syntheticBmp(d / 5, (d % 5).toInt + 1)))
       .toDF("id", "bytes")
@@ -157,7 +173,7 @@ object SparkEntry {
   private[graft] def syntheticAudio(s: SparkSession, dir: String): DataFrame = {
     val spark2 = s
     import spark2.implicits._
-    documents(s, dir).select(col("doc_id")).as[Long]
+    docIdsParallel(s, dir).as[Long]
       .map(d => (d.toString,
         graft.multimodal.BinaryPipeline.syntheticWav(d / 5, (d % 5).toInt + 1)))
       .toDF("id", "bytes")
@@ -278,7 +294,8 @@ object SparkEntry {
     }),
     "q_exact_dedup" -> ((s, dir) => Dedup.exactDuplicates(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => {
-      val sigs = Dedup.signatures(Dedup.shingleSets(docs(s, dir), cfg), cfg)
+      val sigs = Dedup.signatures(
+        Dedup.shingleSets(Dedup.kernelParallel(docs(s, dir)), cfg), cfg)
       Dedup.simhashPairs(sigs, hammingMax = 3)
         .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"), col("hamming"))
     }),
@@ -335,15 +352,18 @@ object SparkEntry {
     "q_list_by_dup_count" -> ((s, dir) =>
       Serving.listByMatchCount(docs(s, dir), edges(s, dir), limit = 20,
         minSim = 0.8)),
+    // no localCheckpoint here: edges() is already backed by the memoized
+    // checkpointed pair table, and nHopCluster checkpoints its own
+    // both-direction view — the extra copy was one redundant job per rep
     "q_nhop_cluster" -> ((s, dir) => {
-      val e = edges(s, dir).localCheckpoint(true)
+      val e = edges(s, dir)
       val seed = e.agg(min(col("id_a"))).head.getLong(0)
       Serving.nHopCluster(e, seed, hops = 2)
         .select(col("doc_id"), col("hop"))
     }),
     // deterministic slice of the expansion (matches.py:128-142)
     "q_nhop_slice" -> ((s, dir) => {
-      val e = edges(s, dir).localCheckpoint(true)
+      val e = edges(s, dir)
       val seed = e.agg(min(col("id_a"))).head.getLong(0)
       Serving.nHopSlice(e, seed, hops = 2, offset = 1, limit = 5)
         .select(col("doc_id"), col("hop"))
@@ -511,8 +531,12 @@ object SparkEntry {
       val corpus = e.unionByName(
         e.where(col("id") % 5 === 0)
           .select((col("id") + 100000).as("id"), col("embedding")))
+      // sd feeds TWO consumers (the group-min aggregate and the final
+      // join); materialized (600 tiny rows) so the SRP pair join + CC +
+      // keep-list tree underneath executes once, not once per consumer
       val sd = graft.queries.Curation.semanticDedup(
         corpus, threshold = 0.999, quality = -col("id").cast("double"))
+        .localCheckpoint(true)
       val gmin = sd.groupBy("cluster_id")
         .agg(min(col("id").cast("long")).as("group_min_id"))
       sd.join(gmin, "cluster_id")

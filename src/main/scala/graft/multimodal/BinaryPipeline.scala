@@ -701,6 +701,15 @@ object BinaryPipeline {
     * the windowed features; different group -> different pitch/loudness).
     * StrictMath keeps the samples bit-identical across platforms.
     */
+  // per-thread memo of the last group's raw sine table: the tone shape
+  // depends only on `group` (noise scales amplitude alone), and callers
+  // generate the 5 noise variants of a group on consecutive rows — the
+  // StrictMath.sin pass (the dominant cost of synthesis) runs once per
+  // group instead of once per row. Bit-identity: the cached value is
+  // exactly the old inline StrictMath.sin(...) subexpression, so
+  // amp * sin * 32767 evaluates to the same double either way.
+  private val sineMemo = new ThreadLocal[(Double, Array[Double])]()
+
   def syntheticWav(group: Long, noise: Int): Array[Byte] = {
     // frequency UNIQUE per group (sequential spacing, below Nyquist of
     // the 4 kHz rate) so the planted structure is exactly the groups;
@@ -710,10 +719,24 @@ object BinaryPipeline {
       (1.0 + noise * 0.002)
     val rate = 4000
     val n = 1000
+    val sines = {
+      val memo = sineMemo.get()
+      if (memo != null && memo._1 == freq && memo._2.length == n) memo._2
+      else {
+        val s = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          s(i) = StrictMath.sin(2 * StrictMath.PI * freq * i / rate)
+          i += 1
+        }
+        sineMemo.set((freq, s))
+        s
+      }
+    }
     val data = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
-      val v = (amp * StrictMath.sin(2 * StrictMath.PI * freq * i / rate) * 32767).toInt
+      val v = (amp * sines(i) * 32767).toInt
       data(i * 2) = (v & 0xff).toByte
       data(i * 2 + 1) = ((v >> 8) & 0xff).toByte
       i += 1

@@ -75,6 +75,26 @@ object Dedup {
       .where(size(split(col("text"), " ")) >= math.max(cfg.shingleK, cfg.minTokens))
       .select(col("id"), Expressions.shingleHashes(col("text"), cfg.shingleK).as("shingles"))
 
+  /** Scale-adaptive parallelism floor for the CPU-heavy narrow kernel
+    * stage that follows: a tiny input (sub-openCost parquet at bench
+    * scale) plans as ONE scan split, pinning the whole shingle +
+    * MinHash pass to a single core of the cluster. Derived from the
+    * input, never a constant (round-6 rule): a no-op whenever the scan
+    * already carries >= defaultParallelism splits — the at-scale case —
+    * so no exchange is ever added where it would move real data.
+    * Downstream consumers are partition-independent by construction
+    * (per-row kernels, set joins, integer-ratio scores, content-derived
+    * CC labels), so the result bits cannot change. Applied by the
+    * materializing pair operators, NOT inside [[shingleSets]] itself:
+    * the bare shingle+signature projection must stay a single narrow
+    * codegen stage (PlanSpec pins that shape).
+    */
+  private[graft] def kernelParallel(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   /** Stage 2 — MinHash signatures + SimHash fingerprint per doc.
     * Computed directly from the shingle array by the custom codegen'd
     * expressions in graft.functions.Expressions (no explode, no shuffle,
@@ -211,7 +231,7 @@ object Dedup {
     // NOTE: lazy — the persisted shingle table stays cached for the
     // session. Callers that materialize the pair set once should use
     // pairsMaterialized, which evicts the cache after computing.
-    val shingled = shingleSets(docs, cfg)
+    val shingled = shingleSets(kernelParallel(docs), cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = signatures(shingled, cfg)
     val cands = candidatePairs(bandTable(validSignatures(sigs), cfg), saltBuckets)
@@ -225,7 +245,7 @@ object Dedup {
     */
   def pairsMaterialized(docs: DataFrame, cfg: DedupConfig = DedupConfig(),
                         saltBuckets: Int = 1): DataFrame = {
-    val shingled = shingleSets(docs, cfg)
+    val shingled = shingleSets(kernelParallel(docs), cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val sigs = signatures(shingled, cfg)
@@ -252,7 +272,7 @@ object Dedup {
     * this operator's shingle join degenerates on hot shingles.
     */
   def exactJaccardPairs(docs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val shingled = shingleSets(docs, cfg)
+    val shingled = shingleSets(kernelParallel(docs), cfg)
     val sh = shingled.select(col("id"), explode(col("shingles")).as("h"))
     val card = shingled.select(col("id"), size(col("shingles")).as("c"))
     val inter = sh.as("a").join(sh.as("b"),
@@ -291,7 +311,7 @@ object Dedup {
     * that stay bounded at corpus scale (shingle, doc id).
     */
   def exactJaccardPairsPrefix(docs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val shingled = shingleSets(docs, cfg)
+    val shingled = shingleSets(kernelParallel(docs), cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // the prefix table feeds BOTH legs of the candidate self-join:
@@ -401,7 +421,7 @@ object Dedup {
     // materialize=false returns the LAZY plan (no persist/checkpoint) —
     // for plan inspection (DumpPlans): localCheckpoint collapses the
     // lineage to Scan ExistingRDD, hiding the join shape
-    val shingled0 = shingleSets(docs, cfg)
+    val shingled0 = shingleSets(kernelParallel(docs), cfg)
     val shingled =
       if (materialize)
         shingled0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -419,12 +439,20 @@ object Dedup {
         if (materialize)
           ranked0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else ranked0
-      // populate the cache EAGERLY: the four join legs below run as
+      // populate the cache EAGERLY: the join legs below run as
       // concurrent stages of one job, and concurrent scans of a cold
       // cache each recompute the freq-join + window lineage (block
       // store is compute-then-publish, not compute-once) — measured
-      // 2x slower than a single eager pass at sf0.1
-      if (materialize) ranked.count(): Unit
+      // 2x slower than a single eager pass at sf0.1. The same pass
+      // returns max(df), deciding up front whether a hot branch is
+      // needed at all (the ExactSubstring.hotHays pattern); the lazy
+      // plan keeps both branches so plan dumps show the full shape.
+      val maxDf =
+        if (!materialize) Long.MaxValue
+        else {
+          val r = ranked.agg(count(lit(1)).as("n"), max(col("df")).as("m")).head
+          if (r.isNullAt(1)) 0L else r.getLong(1)
+        }
       try {
         // +2 not +1: the verify predicate is the DOUBLE quotient i/|A| >=
         // tau, which can round up across tau while ceil(c*tau) = i+1 in
@@ -446,17 +474,26 @@ object Dedup {
             col("a.c") * tau - 1
         // measured hot-key split, now a df filter per side: cold keys
         // take the plain asymmetric join; hot keys (df > hotCap) are
-        // salted so no join task materializes a full f-row bucket
-        val coldCands = prefix.where(col("df") <= hotCap).as("a")
-          .join(ranked.where(col("df") <= hotCap).as("b"), pairCond)
-          .select(col("a.id").as("small_id"), col("b.id").as("big_id"))
-        val hotCands = prefix.where(col("df") > hotCap)
-          .withColumn("salt", explode(sequence(lit(0), lit(saltBuckets - 1)))).as("a")
-          .join(ranked.where(col("df") > hotCap).withColumn("salt",
-            pmod(xxhash64(col("id")), lit(saltBuckets))).as("b"),
-            pairCond && col("a.salt") === col("b.salt"))
-          .select(col("a.id").as("small_id"), col("b.id").as("big_id"))
-        val cands = coldCands.union(hotCands).distinct()
+        // salted so no join task materializes a full f-row bucket. When
+        // the measured max(df) says NO key is hot — the normal case —
+        // the split collapses to one unfiltered join: the df filters
+        // would keep every row and the empty hot branch would still
+        // cost a join, a union leg and wider distinct input.
+        val cands = (if (maxDf <= hotCap) {
+          prefix.as("a").join(ranked.as("b"), pairCond)
+            .select(col("a.id").as("small_id"), col("b.id").as("big_id"))
+        } else {
+          val coldCands = prefix.where(col("df") <= hotCap).as("a")
+            .join(ranked.where(col("df") <= hotCap).as("b"), pairCond)
+            .select(col("a.id").as("small_id"), col("b.id").as("big_id"))
+          val hotCands = prefix.where(col("df") > hotCap)
+            .withColumn("salt", explode(sequence(lit(0), lit(saltBuckets - 1)))).as("a")
+            .join(ranked.where(col("df") > hotCap).withColumn("salt",
+              pmod(xxhash64(col("id")), lit(saltBuckets))).as("b"),
+              pairCond && col("a.salt") === col("b.salt"))
+            .select(col("a.id").as("small_id"), col("b.id").as("big_id"))
+          coldCands.union(hotCands)
+        }).distinct()
         val sa = shingled.select(col("id").as("small_id"), col("shingles").as("sh_a"))
         val sb = shingled.select(col("id").as("big_id"), col("shingles").as("sh_b"))
         val result = cands.join(sa, "small_id").join(sb, "big_id")
@@ -510,10 +547,18 @@ object Dedup {
     * @param clusters (id, cluster_id) from [[clusters]]
     * @param quality  scoring column evaluated over `docs` (numeric)
     */
-  def keepList(docs: DataFrame, clusters: DataFrame, quality: Column): DataFrame = {
-    val scored = docs.select(col("id"), quality.as("quality"))
+  def keepList(docs: DataFrame, clusters: DataFrame, quality: Column,
+               materialize: Boolean = true): DataFrame = {
+    // the scored frame feeds TWO consumers (the winner aggregate and the
+    // flag-back join): left lazy, the docs scan + quality expression +
+    // cluster join execute once per consumer — for an expensive quality
+    // (text scoring, media decode via mediaKeepList) that doubles the
+    // dominant cost. Materialized narrow (id, quality, cluster_id) rows
+    // only; materialize=false keeps the lazy plan for plan dumps.
+    val scored0 = docs.select(col("id"), quality.as("quality"))
       .join(clusters.select(col("id"), col("cluster_id")), Seq("id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+    val scored = if (materialize) scored0.localCheckpoint(true) else scored0
     // min over (-quality, id) == (max quality, ties by min id): the
     // exact ordering the old window used, as one partial-aggregatable
     // struct-min; null quality -> +Inf so it sorts LAST like the

@@ -104,8 +104,16 @@ object Serving {
       .select(col("doc_id").cast(e.schema("src").dataType),
         lit(0).as("hop"))
     var frontier = seen
+    // the seed frontier is nonempty by construction, so the emptiness
+    // check rides the count of each hop's ALREADY-CHECKPOINTED frontier
+    // (a near-free job) instead of a separate limit(1).count() probe
+    // per iteration; `seen` stays a lazy union of the checkpointed
+    // frontiers — its plan depth is bounded by `hops`, so the per-hop
+    // re-checkpoint of the union was pure job overhead (2 fewer driver
+    // round-trips per hop)
+    var frontierNonEmpty = true
     var h = 0
-    while (h < hops && frontier.limit(1).count() > 0) {
+    while (h < hops && frontierNonEmpty) {
       h += 1
       val next = frontier.select(col("doc_id").as("src"))
         .join(e, "src").select(col("dst").as("doc_id"))
@@ -113,7 +121,8 @@ object Serving {
         .join(seen.select("doc_id"), Seq("doc_id"), "left_anti")
         .withColumn("hop", lit(h))
         .localCheckpoint(true)
-      seen = seen.union(next).localCheckpoint(true)
+      frontierNonEmpty = next.count() > 0
+      seen = seen.union(next)
       frontier = next
     }
     seen
