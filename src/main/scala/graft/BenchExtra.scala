@@ -81,32 +81,24 @@ object BenchExtra {
       .localCheckpoint(true)
     println(s"[info] docs=${docs.count()}")
 
-    // ---- q_containment_pairs ------------------------------------------
+    // ---- q_containment_pairs (round-6 internals) ----------------------
     val tau = 0.6
     val shingled = Dedup.shingleSets(docs, cfg).localCheckpoint(true)
     t(spark, "cp: shingleSets")(Dedup.shingleSets(docs, cfg))
-    val sh = shingled.select(col("id"), size(col("shingles")).as("c"),
-      explode(col("shingles")).as("h"))
-    t(spark, "cp: explode sh")(sh)
-    rows("cp: sh rows", sh)
-    val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    t(spark, "cp: freq agg")(freq)
-    rows("cp: distinct shingles", freq)
-    import org.apache.spark.sql.expressions.Window
-    val prefix = sh.join(freq, "h")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("id").orderBy(col("df"), col("h"))))
-      .where(col("rn") <= col("c") - ceil(col("c") * tau) + 2)
-      .select(col("id"), col("h"), col("c"))
-    t(spark, "cp: prefix (join+window)")(prefix)
+    val ranked = Dedup.rankedIndex(shingled).localCheckpoint(true)
+    t(spark, "cp: rankedIndex")(Dedup.rankedIndex(shingled))
+    rows("cp: ranked rows", ranked)
+    val prefix = ranked.where(col("rn") <= col("c") - ceil(col("c") * tau) + 2)
     rows("cp: prefix rows", prefix)
     def pairCond = col("a.h") === col("b.h") &&
       (col("a.c") < col("b.c") ||
-        (col("a.c") === col("b.c") && col("a.id") < col("b.id")))
-    val cands = prefix.as("a").join(sh.as("b"), pairCond)
+        (col("a.c") === col("b.c") && col("a.id") < col("b.id"))) &&
+      lit(1) + least(col("a.c") - col("a.rn"), col("b.c") - col("b.rn")) >=
+        col("a.c") * tau - 1
+    val cands = prefix.as("a").join(ranked.as("b"), pairCond)
       .select(col("a.id").as("small_id"), col("b.id").as("big_id"))
       .distinct()
-    t(spark, "cp: cand join+distinct (no hot split)")(cands)
+    t(spark, "cp: cand join+distinct (positional)")(cands)
     rows("cp: candidate pairs", cands)
     val candsC = cands.localCheckpoint(true)
     val sa = shingled.select(col("id").as("small_id"), col("shingles").as("sh_a"))

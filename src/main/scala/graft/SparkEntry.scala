@@ -605,10 +605,16 @@ object SparkEntry {
     // collect-free serving path)
     "q_audio_dedup" -> ((s, dir) => {
       import graft.multimodal.BinaryPipeline
+      // materialized: the SRP bucket self-join consumes emb on both
+      // legs, and when the planner broadcasts one leg the synth ->
+      // decode -> feature -> pooling lineage cannot share an exchange
+      // and re-executes per leg (measured ~2x at sf0.1); the table is
+      // one narrow row per item
       val emb = BinaryPipeline.itemEmbedding(
           BinaryPipeline.audioFrames(syntheticAudio(s, dir)))
         .select(col("id"),
           expr("transform(embedding, x -> cast(x as float))").as("embedding"))
+        .localCheckpoint(true)
       graft.functions.Embeddings.srpThresholdPairs(emb, audioDedupThreshold)
         .select(col("id_a").cast("long").as("doc_id_a"),
           col("id_b").cast("long").as("doc_id_b"), col("cosine"))

@@ -261,6 +261,65 @@ object Kernels {
     new GenericArrayData(Array(n.toDouble, dup, topFrac))
   }
 
+  /** Thread-local primitive open-addressing probe set behind the
+    * per-pair intersection kernels: the former per-row
+    * java.util.HashSet[Long] boxed every element and allocated per PAIR
+    * — at hundreds of thousands of verify rows the boxing+GC dominated
+    * the stage (round-6 profile). Generation stamps invalidate the
+    * table in O(1) per row instead of an O(capacity) clear; the table
+    * grows geometrically and is reused for the life of the task thread.
+    * Pure set membership on long keys — results are bit-identical.
+    */
+  private final class LongProbe {
+    private var keys = new Array[Long](1024)
+    private var stamps = new Array[Int](1024)
+    private var gen = 0
+    private var mask = 1023
+
+    /** start a fresh set able to hold `n` keys at load factor <= 0.5 */
+    def reset(n: Int): Unit = {
+      var cap = keys.length
+      while (cap < n * 2) cap <<= 1
+      if (cap != keys.length) {
+        keys = new Array[Long](cap)
+        stamps = new Array[Int](cap)
+        gen = 0
+      }
+      mask = cap - 1
+      if (gen == Int.MaxValue) { // stamp wrap would resurrect old slots
+        java.util.Arrays.fill(stamps, 0)
+        gen = 0
+      }
+      gen += 1
+    }
+
+    private def slot(k: Long): Int = {
+      var h = k * 0x9e3779b97f4a7c15L
+      h ^= (h >>> 32)
+      h.toInt & mask
+    }
+
+    def add(k: Long): Unit = {
+      var i = slot(k)
+      while (stamps(i) == gen && keys(i) != k) i = (i + 1) & mask
+      keys(i) = k
+      stamps(i) = gen
+    }
+
+    def contains(k: Long): Boolean = {
+      var i = slot(k)
+      while (stamps(i) == gen) {
+        if (keys(i) == k) return true
+        i = (i + 1) & mask
+      }
+      false
+    }
+  }
+
+  private val intersectProbe = new ThreadLocal[LongProbe] {
+    override def initialValue(): LongProbe = new LongProbe
+  }
+
   /** Exact Jaccard of two long-array SETS (inputs must be distinct;
     * order free). Hash-probe on the smaller side.
     */
@@ -270,7 +329,8 @@ object Kernels {
     val ns = small.numElements()
     val nb = big.numElements()
     if (ns == 0) return if (nb == 0) 1.0 else 0.0
-    val set = new java.util.HashSet[Long](ns * 2)
+    val set = intersectProbe.get()
+    set.reset(ns)
     var i = 0
     while (i < ns) { set.add(small.getLong(i)); i += 1 }
     var inter = 0
@@ -309,7 +369,8 @@ object Kernels {
     val ns = small.numElements()
     val nb = big.numElements()
     if (ns == 0) return 0L
-    val set = new java.util.HashSet[Long](ns * 2)
+    val set = intersectProbe.get()
+    set.reset(ns)
     var i = 0
     while (i < ns) { set.add(small.getLong(i)); i += 1 }
     var inter = 0L
