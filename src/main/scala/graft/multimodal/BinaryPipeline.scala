@@ -783,7 +783,8 @@ object BinaryPipeline {
     */
   def mediaDuplicatePairs(media: DataFrame, threshold: Double = 0.995,
                           stride: Int = 1, dim: Int = 16,
-                          mode: String = "lsh"): DataFrame = {
+                          mode: String = "lsh",
+                          materialize: Boolean = true): DataFrame = {
     // validated, not defaulted-on-typo: a caller asking for "Exact" to
     // build recall ground truth must not silently get the approximate path
     require(mode == "lsh" || mode == "exact", s"mode must be lsh|exact, got $mode")
@@ -794,12 +795,17 @@ object BinaryPipeline {
       graft.functions.Embeddings.bruteForceThresholdPairs(
         emb.localCheckpoint(true), threshold)
     else
-      // the bucket join references emb on both sides WITHIN one plan,
-      // and Catalyst's ReusedExchange dedups the identical subtree —
-      // measured same-window at sf0.1: lazy 1.78 s vs an eager
-      // checkpoint 2.37 s, so the decode already runs once and a
-      // checkpoint is pure overhead here
-      graft.functions.Embeddings.srpThresholdPairs(emb, threshold)
+      // materialized before the bucket self-join (round-6 re-measure):
+      // when the planner BROADCASTS one leg the legs cannot share an
+      // exchange and the decode lineage re-executes per leg — the
+      // round-5 lazy-vs-checkpoint reading (1.78 s vs 2.37 s) was taken
+      // under an SMJ plan where ReusedExchange did dedup the subtree;
+      // with the narrow item-embedding table the checkpoint is cheap
+      // and makes the single-decode guarantee planner-independent.
+      // materialize=false keeps the full lazy plan (DumpPlans: the
+      // "binary column never shuffles" evidence needs the join shape)
+      graft.functions.Embeddings.srpThresholdPairs(
+        if (materialize) emb.localCheckpoint(true) else emb, threshold)
   }
 
   /** Incremental media matching — the reference fork's periodic loop
