@@ -21,12 +21,13 @@ object SparkEntry {
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   /** documents with the scale-adaptive parallelism floor (see
-    * [[graft.pipeline.Dedup.kernelParallel]]): used by the queries whose
-    * dominant cost is a per-row kernel (chunk hashing, winnowing, regex
-    * redaction, deflate) over what is otherwise ONE sub-openCost scan
-    * split. Only applied where the result is partition-independent
-    * (per-row values, integer counts, min/first keepers) — never under
-    * a floating-point aggregation, whose merge order must not change.
+    * [[graft.pipeline.Dedup.kernelParallel]]). Measured per query and
+    * kept ONLY where the kernel outweighs the added exchange (the
+    * winnowing explode); the other per-row queries are too cheap at
+    * bench scale — the repartition regressed them 1.3-1.7x and was
+    * reverted (round-6 A/B, see OPTIMIZATION_r06.md). Only ever applied
+    * where the result is partition-independent — never under a
+    * floating-point aggregation, whose merge order must not change.
     */
   private def documentsPar(s: SparkSession, dir: String): DataFrame =
     Dedup.kernelParallel(documents(s, dir))
@@ -170,7 +171,10 @@ object SparkEntry {
   private[graft] def syntheticMedia(s: SparkSession, dir: String): DataFrame = {
     val spark2 = s
     import spark2.implicits._
-    docIdsParallel(s, dir).as[Long]
+    // no parallelism floor here (unlike syntheticAudio): the 16x16 BMP
+    // synth is too cheap for the added exchange — A/B'd both ways in
+    // round 6, the floor regressed this query ~0.15 s
+    documents(s, dir).select(col("doc_id")).as[Long]
       .map(d => (d.toString,
         graft.multimodal.BinaryPipeline.syntheticBmp(d / 5, (d % 5).toInt + 1)))
       .toDF("id", "bytes")
@@ -302,8 +306,7 @@ object SparkEntry {
         .union(p.select(col("id_b").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
     }),
-    "q_exact_dedup" -> ((s, dir) =>
-      Dedup.exactDuplicates(Dedup.kernelParallel(docs(s, dir)))),
+    "q_exact_dedup" -> ((s, dir) => Dedup.exactDuplicates(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => {
       val sigs = Dedup.signatures(
         Dedup.shingleSets(Dedup.kernelParallel(docs(s, dir)), cfg), cfg)
@@ -326,12 +329,12 @@ object SparkEntry {
     // FineWeb-style chunk dedup signal: per-doc fraction of 20-token
     // windows that occur more than once corpus-wide
     "q_chunk_dup" -> ((s, dir) =>
-      graft.queries.Curation.chunkDupStats(documentsPar(s, dir), chunkTokens = 20)),
+      graft.queries.Curation.chunkDupStats(documents(s, dir), chunkTokens = 20)),
     // C4-style duplicate-span REMOVAL with text reconstruction: spans
     // occurring >=2 times corpus-wide survive only at their first
     // (doc_id, span_idx) occurrence; kept_text md5-compared cross-engine
     "q_span_dedup" -> ((s, dir) =>
-      graft.queries.Curation.removeDuplicateSpans(documentsPar(s, dir), spanTokens = 20)
+      graft.queries.Curation.removeDuplicateSpans(documents(s, dir), spanTokens = 20)
         .select(col("doc_id"), col("n_spans"), col("n_removed"),
           md5(col("kept_text").cast("binary")).as("kept_md5"))),
     // suffix-array exact-substring pass over low-threshold candidates
@@ -398,7 +401,7 @@ object SparkEntry {
           size(toks)).as("stop_ratio"))
     }),
     "q_token_freq" -> ((s, dir) =>
-      documentsPar(s, dir)
+      documents(s, dir)
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token").asc)
@@ -408,12 +411,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           avg(col("n_chars")).as("avg_chars"))),
     "q_doc_fingerprints" -> ((s, dir) =>
-      documentsPar(s, dir).select(col("doc_id"),
+      documents(s, dir).select(col("doc_id"),
         graft.functions.TextFunctions.fingerprint64(col("text")).as("fp64"))),
     // heuristic quality scoring (gray-max regressor analog,
     // utils.py:91-111) — full SQL oracle, same arithmetic both engines
     "q_quality_score" -> ((s, dir) =>
-      documentsPar(s, dir).select(col("doc_id"),
+      documents(s, dir).select(col("doc_id"),
         graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))),
     // dedup decision: per-cluster canonical doc (keep best quality,
     // ties -> min id); singletons kept — the curated-corpus output
@@ -426,7 +429,7 @@ object SparkEntry {
     // n-gram-heuristic language ID (fixture oracle: argmax-over-profiles
     // is not cleanly DuckDB-expressible; semantics unit-tested)
     "q_lang_id" -> ((s, dir) =>
-      documentsPar(s, dir).select(col("doc_id"),
+      documents(s, dir).select(col("doc_id"),
         graft.functions.TextFunctions.langId(col("text")).as("lang_id"))),
     // winnowing fingerprints (content-defined sampling; xxhash64-based ->
     // fixture oracle), exploded to a flat (doc_id, fp) table
@@ -437,7 +440,7 @@ object SparkEntry {
     // Gopher-style intra-doc repetition signals (dup-token fraction,
     // top-bigram coverage) — the standard repetition quality filter
     "q_repetition" -> ((s, dir) =>
-      graft.queries.Curation.repetitionStats(documentsPar(s, dir))),
+      graft.queries.Curation.repetitionStats(documents(s, dir))),
     // PII redaction (emails -> IPv4 -> phone runs, shared-regex chain;
     // PII synthesized deterministically — the corpus has none)
     "q_pii_redact" -> ((s, dir) => {
@@ -450,7 +453,7 @@ object SparkEntry {
         when(id % 5 === 0, concat(lit(" call +1 (555) 123-45"),
           (id % 89).cast("string"))).otherwise(lit("")))
       val red = graft.functions.TextFunctions.redactPii(t)
-      documentsPar(s, dir).select(id,
+      documents(s, dir).select(id,
         ((length(red) - length(regexp_replace(red, java.util.regex.Pattern.quote("<PII>"), ""))) / 5)
           .cast("long").as("n_pii"),
         md5(red.cast("binary")).as("redacted_md5"))
@@ -458,7 +461,7 @@ object SparkEntry {
     // deflate-ratio quality signal (CCNet-style gibberish/repetition
     // detector; zlib not SQL-expressible -> fixture oracle)
     "q_compression_ratio" -> ((s, dir) =>
-      documentsPar(s, dir).select(col("doc_id"),
+      documents(s, dir).select(col("doc_id"),
         round(graft.functions.Expressions.compressionRatio(col("text")), 6)
           .as("deflate_ratio"))),
     // GPT-3-style benchmark decontamination: shared word-4-grams vs a

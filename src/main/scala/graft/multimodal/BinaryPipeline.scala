@@ -783,8 +783,7 @@ object BinaryPipeline {
     */
   def mediaDuplicatePairs(media: DataFrame, threshold: Double = 0.995,
                           stride: Int = 1, dim: Int = 16,
-                          mode: String = "lsh",
-                          materialize: Boolean = true): DataFrame = {
+                          mode: String = "lsh"): DataFrame = {
     // validated, not defaulted-on-typo: a caller asking for "Exact" to
     // build recall ground truth must not silently get the approximate path
     require(mode == "lsh" || mode == "exact", s"mode must be lsh|exact, got $mode")
@@ -795,17 +794,16 @@ object BinaryPipeline {
       graft.functions.Embeddings.bruteForceThresholdPairs(
         emb.localCheckpoint(true), threshold)
     else
-      // materialized before the bucket self-join (round-6 re-measure):
-      // when the planner BROADCASTS one leg the legs cannot share an
-      // exchange and the decode lineage re-executes per leg — the
-      // round-5 lazy-vs-checkpoint reading (1.78 s vs 2.37 s) was taken
-      // under an SMJ plan where ReusedExchange did dedup the subtree;
-      // with the narrow item-embedding table the checkpoint is cheap
-      // and makes the single-decode guarantee planner-independent.
-      // materialize=false keeps the full lazy plan (DumpPlans: the
-      // "binary column never shuffles" evidence needs the join shape)
-      graft.functions.Embeddings.srpThresholdPairs(
-        if (materialize) emb.localCheckpoint(true) else emb, threshold)
+      // the bucket join references emb on both sides WITHIN one plan,
+      // and Catalyst's ReusedExchange dedups the identical subtree —
+      // re-measured in round 6 (3-run A/B at sf0.1): an eager
+      // checkpoint was consistently ~0.2 s SLOWER than the lazy plan
+      // (medians 1.18 vs 0.98), confirming the round-5 reading — the
+      // decode already runs once here, a checkpoint is pure overhead
+      // (unlike the audio query path, where the planner broadcast a
+      // leg, the legs could not share an exchange, and its checkpoint
+      // won — the decision is per-plan, not per-principle)
+      graft.functions.Embeddings.srpThresholdPairs(emb, threshold)
   }
 
   /** Incremental media matching — the reference fork's periodic loop

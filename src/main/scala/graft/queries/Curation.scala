@@ -278,16 +278,18 @@ object Curation {
     */
   def semanticDedup(emb: DataFrame, threshold: Double,
                     quality: org.apache.spark.sql.Column = lit(0.0),
-                    bits: Int = 12, tables: Int = 4): DataFrame = {
+                    bits: Int = 12, tables: Int = 4,
+                    materialize: Boolean = true): DataFrame = {
     val pairs = graft.functions.Embeddings
       .srpThresholdPairs(emb, threshold, bits, tables)
     val clusters = graft.pipeline.Dedup.clusters(pairs)
     // only the id is canonicalized — the frame keeps ALL its columns so
     // a `quality` expression over any of them (score, length, …) still
-    // resolves; keepList projects what it needs
+    // resolves; keepList projects what it needs. materialize forwards
+    // to keepList's scored-frame checkpoint (false = lazy plan dumps).
     graft.pipeline.Dedup.keepList(
       emb.withColumn("id", col("id").cast("string")),
-      clusters, quality)
+      clusters, quality, materialize)
       .select(col("id"), col("cluster_id"), col("quality"), col("kept"))
   }
 }
