@@ -153,12 +153,13 @@ object SparkEntry {
     */
   private[graft] val mediaDedupThreshold = 0.9995
 
-  /** Parallelism floor for the synthetic-media generators: the doc-id
-    * scan is one sub-openCost parquet split, which would pin the whole
-    * synthesize -> decode -> featurize chain to a single core. Derived
-    * from the input (no-op once the scan has >= defaultParallelism
-    * splits); every downstream value is per-row or single-frame-exact,
-    * so the result bits cannot change.
+  /** Parallelism floor for the synthetic-AUDIO generator (the BMP
+    * generator measured as too cheap for the added exchange and does
+    * not use it): the doc-id scan is one sub-openCost parquet split,
+    * which would pin the whole synthesize -> decode -> featurize chain
+    * to a single core. Derived from the input (no-op once the scan has
+    * >= defaultParallelism splits); every downstream value is per-row
+    * or single-frame-exact, so the result bits cannot change.
     */
   private def docIdsParallel(s: SparkSession, dir: String): DataFrame = {
     val ids = documents(s, dir).select(col("doc_id"))
